@@ -1,0 +1,44 @@
+"""Shared helpers for the query registry — cross-engine determinism.
+
+Doubles summed in arbitrary order differ in low bits between engines, so
+any aggregate that feeds the driver's value-hash is computed in
+DECIMAL (exact, order-independent) and cast to DOUBLE at the end.
+Timestamps are formatted to strings at second precision (events.ts is
+ns in parquet; Spark truncates to micros, DuckDB keeps ns — second
+precision is the shared ground truth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SPARK_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def dec(c: str | Column, scale: int = 2) -> Column:
+    """Cast to an exact decimal for order-independent aggregation."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(18,{scale})")
+
+
+def dsum(c: str | Column, alias: str, scale: int = 2) -> Column:
+    """Exact decimal sum surfaced as double (matches oracle CAST chain)."""
+    return F.sum(dec(c, scale)).cast("double").alias(alias)
+
+
+def davg(c: str | Column, alias: str, scale: int = 2) -> Column:
+    """Deterministic average: exact decimal sum / count, in double."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.sum(dec(col, scale)).cast("double") / F.count(col)).alias(alias)
+
+
+def ts_str(c: str | Column, alias: str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.date_format(col, SPARK_TS_FMT).alias(alias)
+
+
+def d_str(c: str | Column, alias: str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.date_format(col, "yyyy-MM-dd").alias(alias)

@@ -1,0 +1,554 @@
+"""LLM-data-pipeline operators — dedup, similarity search, text
+analysis, multimodal plumbing (SURVEY.md §2.D last row; BASELINE.json
+north star).
+
+Design rules for 100 TB:
+- no driver-side collect anywhere; every operator is a pure DataFrame
+  composition (shingling/minhash included — expressed with higher-order
+  array functions, JVM-side, not Python UDFs);
+- pairwise work is always bucketed first (LSH bands / sign-buckets) so
+  the join fans out per-bucket instead of a global cross join;
+- hash functions are md5 (identical across engines) so every step that
+  is SQL-expressible carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducecore_spark.catalog import load_tables
+from mapreducecore_spark.functions.text import SPLIT_REGEX, SPLIT_REGEX_SQL
+from mapreducecore_spark.queries import register
+
+# ---------------------------------------------------------------- dedup
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep lowest doc_id per content hash.
+    Map-side partial agg makes this one shuffle of (hash, id) pairs."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS norm_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after lowercase + whitespace normalization."""
+    t = load_tables(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " "))
+    return (
+        t["documents"]
+        .groupBy(F.md5(norm).alias("norm_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# Tokens as a SQL expression shared by the shingle-based ops.
+# (backslash-escape the single quote for Spark SQL string literals)
+_SPLIT_SPARK_SQL = SPLIT_REGEX.replace("'", "\\'")
+_TOKS = f"filter(split(text, '{_SPLIT_SPARK_SQL}'), x -> x <> '')"
+_TOKS_DUCK = f"list_filter(string_split_regex(text, '{SPLIT_REGEX_SQL}'), x -> x <> '')"
+
+
+def _shingles_expr(n: int) -> str:
+    """Spark SQL: distinct n-token shingles (space-joined)."""
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    return (
+        f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def _shingles_duck(n: int) -> str:
+    parts = ", ".join(f"list_extract(toks, i + {j})" for j in range(n))
+    return (
+        f"list_distinct(list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+_MINHASH_SEEDS = 8  # 4 bands x 2 rows
+
+_MINHASH_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_shingles_duck(3)}) AS shingle
+      FROM docs WHERE len(toks) >= 3
+    ), mh AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minh
+      FROM sh, (SELECT unnest(range({_MINHASH_SEEDS})) AS seed) seeds
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band_id,
+             MAX(CASE WHEN seed % 2 = 0 THEN minh END)
+               || ':' || MAX(CASE WHEN seed % 2 = 1 THEN minh END) AS sig
+      FROM mh GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: 3-token shingles -> 8 md5
+    minhashes -> 4 bands of 2 -> docs sharing any band signature.
+    All JVM-side (higher-order functions); the band join is the only
+    shuffle that grows with candidate count, never a cross join."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].selectExpr("doc_id", f"{_TOKS} AS toks")
+    sh = (
+        docs.filter(F.expr("size(toks) >= 3"))
+        .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
+    )
+    mh = (
+        sh.crossJoin(
+            spark.range(_MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")))).alias(
+                "minh"
+            )
+        )
+    )
+    bands = mh.groupBy(
+        "doc_id", (F.col("seed") / 2).cast("int").alias("band_id")
+    ).agg(
+        F.concat_ws(
+            ":",
+            F.max(F.when(F.col("seed") % 2 == 0, F.col("minh"))),
+            F.max(F.when(F.col("seed") % 2 == 1, F.col("minh"))),
+        ).alias("sig")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "sig"
+    )
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "sig")
+    return (
+        a.join(b, ["band_id", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_shingles_duck(4)}) AS shingle
+      FROM docs WHERE len(toks) >= 4
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.4
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    join docs on shared 4-token shingle, count intersections, compute
+    |A∩B| / (|A|+|B|-|A∩B|). The shingle join replaces the O(n²) cross
+    join; hot shingles are the skew risk -> AQE skew-join handles it."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].selectExpr("doc_id", f"{_TOKS} AS toks")
+    sh = (
+        docs.filter(F.expr("size(toks) >= 4"))
+        .selectExpr("doc_id", f"explode({_shingles_expr(4)}) AS shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------- text analysis
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_calc,
+           CAST(len({_TOKS_DUCK}) AS INT) AS n_tokens,
+           CAST(len(list_filter({_TOKS_DUCK},
+                x -> list_contains([{_SW_SQL}], x))) AS INT) AS n_stopwords,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_ ]')) AS INT) AS n_punct
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: chars, strtok tokens, stopword hits, punct."""
+    t = load_tables(spark, sf_dir)
+    sw_arr = "array(" + _SW_SQL + ")"
+    return t["documents"].selectExpr(
+        "doc_id",
+        "length(text) AS n_chars_calc",
+        f"size({_TOKS}) AS n_tokens",
+        f"size(filter({_TOKS}, x -> array_contains({sw_arr}, x))) AS n_stopwords",
+        "size(regexp_extract_all(text, '[^A-Za-z0-9_ ]', 0)) AS n_punct",
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_DUCK}) AS INT) AS n_tokens,
+             CAST(len(list_filter({_TOKS_DUCK},
+                  x -> list_contains([{_SW_SQL}], x))) AS INT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                 * (1.0 - 0.5 * CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1)), 6)
+             AS quality
+    FROM s
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic heuristic quality score from length + stopword ratio."""
+    t = load_tables(spark, sf_dir)
+    sw_arr = "array(" + _SW_SQL + ")"
+    s = t["documents"].selectExpr(
+        "doc_id",
+        f"size({_TOKS}) AS n_tokens",
+        f"size(filter({_TOKS}, x -> array_contains({sw_arr}, x))) AS n_stop",
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))
+        * (
+            1.0
+            - 0.5 * F.col("n_stop").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+        ),
+        6,
+    )
+    return s.select("doc_id", quality.alias("quality"))
+
+
+_LANG_SETS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+}
+
+
+@register(
+    "lang_id_ngram",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter({_TOKS_DUCK}, x -> list_contains([{", ".join(repr(w) for w in _LANG_SETS["en"])}], x))) AS INT) AS s_en,
+             CAST(len(list_filter({_TOKS_DUCK}, x -> list_contains([{", ".join(repr(w) for w in _LANG_SETS["de"])}], x))) AS INT) AS s_de,
+             CAST(len(list_filter({_TOKS_DUCK}, x -> list_contains([{", ".join(repr(w) for w in _LANG_SETS["es"])}], x))) AS INT) AS s_es
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_labeled,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM s
+    """,
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID heuristic (deterministic tie order)."""
+    t = load_tables(spark, sf_dir)
+    exprs = {
+        k: f"size(filter({_TOKS}, x -> array_contains(array({', '.join(repr(w) for w in ws)}), x)))"
+        for k, ws in _LANG_SETS.items()
+    }
+    s = t["documents"].selectExpr(
+        "doc_id",
+        "lang",
+        f"{exprs['en']} AS s_en",
+        f"{exprs['de']} AS s_de",
+        f"{exprs['es']} AS s_es",
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") > 0),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") > 0), "de")
+        .when(F.col("s_es") > 0, "es")
+        .otherwise("und")
+    )
+    return s.select("doc_id", F.col("lang").alias("lang_labeled"), pred.alias("lang_pred"))
+
+
+from mapreducecore_spark.functions.text import BPE_TOKEN_REGEX  # noqa: E402
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting with an explicit-class regex (identical
+    semantics in Java regex and RE2)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_REGEX), 0)).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, MIN(md5(substr(text, i, 8))) AS fingerprint
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i
+          FROM documents) t
+    GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over 8-char shingles —
+    stable under content reordering-free edits, JVM-side via
+    higher-order functions (no UDF)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].selectExpr(
+        "doc_id",
+        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
+        "i -> md5(substring(text, i, 8)))) AS fingerprint",
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+_COS_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    " / (sqrt(aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    " * sqrt(aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))"
+)
+
+_COS_DUCK = (
+    "list_inner_product({a}, {b})"
+    " / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),
+    sims AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             ROUND({_COS_DUCK.format(a="q.q_emb", b="e.emb")}, 6) AS sim
+      FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the full embedding table; double-precision sequential fold keeps the
+    arithmetic engine-identical. At 100 TB the scale path is
+    ann_lsh_bucketed below — this is the exact baseline."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    q = e.filter(F.col("vec_id") < 8).selectExpr("vec_id AS q_id", "emb AS q_emb")
+    cos = _COS_SPARK.format(a="q_emb", b="emb")
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .selectExpr("q_id", "vec_id AS neighbor_id", f"ROUND({cos}, 6) AS sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "neighbor_id", "sim")
+    )
+
+
+_BUCKET_SPARK = (
+    "CAST(aggregate(transform(sequence(1, 8), "
+    "i -> CASE WHEN element_at(emb, i) >= element_at(emb, i + 32) "
+    "THEN CAST(pow(2, i - 1) AS INT) ELSE 0 END), 0, (acc, v) -> acc + v) AS INT)"
+)
+
+_BUCKET_DUCK = (
+    "CAST(list_sum(list_transform(generate_series(1, 8), "
+    "i -> CASE WHEN list_extract(emb, i) >= list_extract(emb, i + 32) "
+    "THEN CAST(2 ** (i - 1) AS INT) ELSE 0 END)) AS INT)"
+)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    be AS (SELECT *, {_BUCKET_DUCK} AS bucket FROM e),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM be WHERE vec_id < 8),
+    sims AS (
+      SELECT q.q_id, be.vec_id AS neighbor_id,
+             ROUND({_COS_DUCK.format(a="q.q_emb", b="be.emb")}, 6) AS sim
+      FROM q JOIN be ON q.bucket = be.bucket AND be.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 3
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: deterministic sign-comparison LSH (8 bits from
+    coordinate-pair comparisons -> 256 buckets), candidates restricted to
+    the query's bucket. The scale path: bucket join instead of cross
+    join cuts candidate count ~256x; recall vs the brute-force baseline
+    is asserted in tests."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    be = e.selectExpr("vec_id", "emb", f"{_BUCKET_SPARK} AS bucket")
+    q = be.filter(F.col("vec_id") < 8).selectExpr(
+        "vec_id AS q_id", "emb AS q_emb", "bucket"
+    )
+    cos = _COS_SPARK.format(a="q_emb", b="emb")
+    sims = (
+        be.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .selectExpr("q_id", "vec_id AS neighbor_id", f"ROUND({cos}, 6) AS sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "neighbor_id", "sim")
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    be AS (SELECT *, {_BUCKET_DUCK} AS bucket FROM e),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({_COS_DUCK.format(a="a.emb", b="b.emb")}, 6) AS cos_sim
+      FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed by the same
+    sign-LSH so the pair join is per-bucket (true near-dups agree on
+    sign buckets with high probability)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    be = e.selectExpr("vec_id", "emb", f"{_BUCKET_SPARK} AS bucket")
+    a = be.selectExpr("vec_id AS id_a", "emb AS emb_a", "bucket")
+    b = be.selectExpr("vec_id AS id_b", "emb AS emb_b", "bucket")
+    cos = _COS_SPARK.format(a="emb_a", b="emb_b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr("id_a", "id_b", f"ROUND({cos}, 6) AS cos_sim")
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+
+
+# ------------------------------------------------------------ multimodal
+
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_feature,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: payload -> binary column -> Arrow-batched
+    mapInPandas "decode" (deterministic stand-in; real codecs are the
+    stubbed seam in llm/multimodal.py). The Spark-side shape — schema,
+    binary transfer, batch iteration — is the real thing."""
+    from mapreducecore_spark.llm.multimodal import decode_features
+
+    t = load_tables(spark, sf_dir)
+    blobs = t["documents"].select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_features(blobs)

@@ -1,0 +1,82 @@
+"""MapReduce-fidelity queries: the reference's word-count workload
+(test/user_tasks.cc:9-35) over the documents table, both as a pure
+DataFrame program and through the run_mapreduce contract layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducecore_spark.catalog import load_tables
+from mapreducecore_spark.functions.text import (
+    SPLIT_REGEX,
+    SPLIT_REGEX_SQL,
+    wordcount_mapper,
+    wordcount_reducer,
+)
+from mapreducecore_spark.mapreduce import run_mapreduce
+from mapreducecore_spark.queries import register
+
+_WORDCOUNT_ORACLE = f"""
+    SELECT token AS word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(text, '{SPLIT_REGEX_SQL}')) AS token
+          FROM documents) t
+    WHERE token <> ''
+    GROUP BY token
+"""
+
+
+@register("wordcount_documents", oracle=_WORDCOUNT_ORACLE)
+def wordcount_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference word count, DataFrame-native: explode(split) + count.
+    Tokenizer = strtok on " ,.\\"'" (test/user_tasks.cc:15). Catalyst
+    partial-aggregates map-side — the fix for the reference shipping one
+    '(word,1)' line per occurrence through the shuffle (mr_tasks.h:46)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", SPLIT_REGEX)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_MR_ORACLE = f"""
+    SELECT token AS key, CAST(COUNT(*) AS VARCHAR) AS value
+    FROM (SELECT unnest(string_split_regex(text, '{SPLIT_REGEX_SQL}')) AS token
+          FROM documents) t
+    WHERE token <> ''
+    GROUP BY token
+"""
+
+
+@register("mr_wordcount_contract", oracle=_MR_ORACLE)
+def mr_wordcount_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same workload through the generalized map/reduce contract layer
+    (mapreduce.py): flatMap -> repartitionAndSortWithinPartitions ->
+    streamed sorted reduce. Exercises the (str,str) API of
+    mr_task_factory.h:14-43 end to end."""
+    t = load_tables(spark, sf_dir)
+    lines = t["documents"].select("text")
+    return run_mapreduce(
+        spark, lines, wordcount_mapper, wordcount_reducer, n_outputs=8
+    )
+
+
+@register("mr_sorted_partition_sink", oracle=None)
+def mr_sorted_partition_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 sink semantics (mr_tasks.h:109-121): R hash partitions, each
+    key-sorted. Returns partition_id so tests can assert per-partition
+    sortedness + partition count; no SQL oracle (partition assignment is
+    engine-hash-specific by design — SURVEY §2 S2)."""
+    t = load_tables(spark, sf_dir)
+    lines = t["documents"].select("text")
+    return run_mapreduce(
+        spark,
+        lines,
+        wordcount_mapper,
+        wordcount_reducer,
+        n_outputs=8,
+        with_partition_id=True,
+    )

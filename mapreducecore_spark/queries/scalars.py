@@ -1,0 +1,197 @@
+"""Scalar-function queries — SURVEY.md §2.D "Scalar functions" row.
+
+String / date / math / conditional / array / JSON functions, all
+built-in `pyspark.sql.functions` (JVM-side, codegen'd — the UDF slow
+path is reserved for the genuinely non-expressible ops in llm.py).
+
+Float-function caveat: ln/pow may differ by an ulp between libm
+implementations, so those outputs are rounded to 6 decimals on both
+sides; sqrt and integer-power are IEEE-exact and need no rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducecore_spark.catalog import load_tables
+from mapreducecore_spark.queries import register
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_type) AS type_lc,
+           upper(p_brand) AS brand_uc,
+           trim(concat('  ', p_brand, '  ')) AS brand_trim,
+           substr(p_name, 1, 5) AS name5,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CAST(length(p_name) AS INT) AS name_len,
+           regexp_extract(p_type, '^([a-z]+)', 1) AS first_word,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("brand_trim"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_type", r"^([a-z]+)", 1).alias("first_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch95
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since_epoch95"
+            ),
+        )
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS DOUBLE) AS price_round,
+           CAST(ABS(o_totalprice - 100000.0) AS DOUBLE) AS dist_100k,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
+           ROUND(SQRT(o_totalprice), 6) AS price_sqrt,
+           ROUND(LN(o_totalprice), 6) AS price_ln,
+           ROUND(POWER(o_totalprice, 2), 2) AS price_sq
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 0)
+            .cast("double")
+            .alias("price_round"),
+            F.abs(F.col("o_totalprice") - 100000.0).cast("double").alias("dist_100k"),
+            F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+            F.ceil("o_totalprice").cast("bigint").alias("price_ceil"),
+            F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+            F.round(F.log(F.col("o_totalprice")), 6).alias("price_ln"),
+            F.round(F.pow("o_totalprice", F.lit(2)), 2).alias("price_sq"),
+        )
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           CAST(COALESCE(NULLIF(c_acctbal, 0.0), -1.0) AS DOUBLE) AS bal_nonzero
+    FROM customer
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    bal = F.col("c_acctbal")
+    return t["customer"].select(
+        "c_custkey",
+        F.when(bal < 0, "debt")
+        .when(bal < 1000, "low")
+        .when(bal < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.coalesce(F.nullif(bal, F.lit(0.0)), F.lit(-1.0)).cast("double").alias("bal_nonzero"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+           list_contains(string_split(p_name, ' '), 'green') AS has_green,
+           CAST(unnest(range(len(string_split(p_name, ' ')))) AS INT) AS pos,
+           unnest(string_split(p_name, ' ')) AS word
+    FROM part WHERE p_partkey < 200
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / array_contains / posexplode over a split array."""
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["part"]
+        .filter(F.col("p_partkey") < 200)
+        .select("p_partkey", F.split("p_name", " ").alias("words"))
+    )
+    return base.select(
+        "p_partkey",
+        F.size("words").alias("n_words"),
+        F.array_contains("words", "green").alias("has_green"),
+        F.posexplode("words").alias("pos", "word"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object + from_json agree on the extracted value; the sum
+    uses the from_json-typed column (exact integer arithmetic)."""
+    t = load_tables(spark, sf_dir)
+    parsed = t["events"].select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_str_path"),
+        F.from_json("props", "k BIGINT").getField("k").alias("k_typed"),
+    )
+    return (
+        parsed.filter(F.col("k_str_path").eqNullSafe(F.col("k_typed")))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k_typed").alias("sum_k"))
+    )

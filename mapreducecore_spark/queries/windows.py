@@ -1,0 +1,208 @@
+"""Window-function queries — SURVEY.md §2.D "Window functions" row.
+
+Determinism contract: ranks computed over ties are engine-stable only
+when the ORDER BY either is total (unique key appended) or the ranked
+value depends solely on the sort key (rank/dense_rank). row_number over
+a non-total order is NOT deterministic — every query here orders by a
+provably-unique key set before using row_number/lag/lead/rows frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducecore_spark.catalog import load_tables
+from mapreducecore_spark.queries import register
+from mapreducecore_spark.queries._util import d_str, dec
+
+
+@register(
+    "window_row_number",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+    FROM orders
+    """,
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return t["orders"].select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(RANK()       OVER (PARTITION BY o_orderstatus ORDER BY year(o_orderdate)) AS INT) AS rk,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY year(o_orderdate)) AS INT) AS drk
+    FROM orders
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank over a tied sort key (deterministic despite ties)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy(F.year("o_orderdate"))
+    return t["orders"].select(
+        "o_orderkey", F.rank().over(w).alias("rk"), F.dense_rank().over(w).alias("drk")
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(LAG(o_totalprice)  OVER w AS DOUBLE) AS prev_price,
+           CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+        F.lead("o_totalprice").over(w).cast("double").alias("next_price"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum (exact decimal inside the frame -> engine-stable)."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average via exact sum / frame count."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(dec("o_totalprice")).over(w).cast("double") / F.count("*").over(w)).alias(
+            "moving_avg"
+        ),
+    )
+
+
+@register(
+    "window_range_between",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, sz,
+           CAST(COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY sz
+                               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near
+    FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS sz
+          FROM lineitem WHERE l_orderkey < 1000)
+    """,
+)
+def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric value (value-defined, so tie-safe)."""
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("sz"),
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("sz").rangeBetween(-2, Window.currentRow)
+    return base.select(
+        "l_orderkey", "l_linenumber", "sz", F.count("*").over(w).alias("n_near")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: window row_number + filter (Catalyst pushes the
+    rank limit into a partial top-k before the shuffle on Spark 3.5+)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "orderby_limit_multikey",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def orderby_limit_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort + limit (TakeOrderedAndProject physical op)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            d_str("o_orderdate", "orderdate"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

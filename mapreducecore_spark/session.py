@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference's runtime knobs (`mapreduce_spec.h:18-26`: n_workers,
+map_kilobytes shard size, n_output_files R) map onto Spark confs:
+worker count -> master URL / executor confs, shard size ->
+spark.sql.files.maxPartitionBytes, R -> spark.sql.shuffle.partitions.
+
+Settings are chosen for a large cluster and scale down fine to local[N]:
+AQE handles partition coalescing and skew joins at runtime, so a fixed
+shuffle-partition count is only the pre-AQE upper bound.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied even to an externally created session
+# (the driver owns its own SparkSession; tune_session() makes query
+# behavior independent of who built the session).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    # rejects; read as long and convert in catalog.load_tables (exact
+    # integer div — double math would lose precision above 2^53 ns).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # 10k-row Arrow batches keep pandas-UDF memory bounded at wide rows.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+}
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable at runtime on this build — keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "mapreducecore-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or default_master())
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        # 128 MiB splits: the Spark analogue of the reference's
+        # map_kilobytes shard sizing (file_shard.h:35), newline-safe and
+        # column-pruned for parquet out of the box.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return tune_session(builder.getOrCreate())

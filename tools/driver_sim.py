@@ -1,0 +1,100 @@
+"""Simulate the driver's verify pass: plain SparkSession (no engine
+tuning — the driver builds its own), import __spark_entry__, run
+entry(), then every queries() entry at sf0.01 compared against its
+oracle_sql() via DuckDB (row count + sorted-column value compare).
+
+Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def norm_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else repr(round(v, 9)))
+            elif v is None:
+                vals.append("NULL")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import duckdb
+
+    # Deliberately minimal session — what a driver would plausibly build.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as mod
+
+    t0 = time.time()
+    edf = mod.entry(spark)
+    erows = edf.collect()
+    print(f"entry(): {len(erows)} rows, schema={edf.schema.simpleString()} "
+          f"({time.time()-t0:.1f}s)")
+    assert len(erows) > 0
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{SF}/{name}.parquet'")
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    print(f"{len(qs)} queries, {len(oracles)} with oracles, sf_dir={SF}")
+    n_pass = n_fail = 0
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+            if name in oracles:
+                rel = con.sql(oracles[name])
+                drows, dcols = rel.fetchall(), list(rel.columns)
+                ok_cols = sorted(scols) == sorted(dcols)
+                ok_cnt = len(srows) == len(drows)
+                ok_vals = ok_cols and ok_cnt and norm_rows(srows, scols) == norm_rows(drows, dcols)
+                status = "PASS" if (ok_cols and ok_cnt and ok_vals) else (
+                    f"FAIL cols={ok_cols} cnt={ok_cnt}({len(srows)}/{len(drows)}) vals={ok_vals}"
+                )
+            else:
+                status = f"PASS(rows-only {len(srows)})"
+        except Exception as e:
+            status = f"ERROR {type(e).__name__}: {str(e)[:120]}"
+        dt = time.time() - t0
+        if status.startswith("PASS"):
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"  {name:32s} {dt:6.1f}s  {status}")
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
