@@ -1,0 +1,87 @@
+"""Benchmark harness — runs the full query registry at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full pipeline runs, nothing is
+collected to the driver). Headline queries get 2 timed runs (min taken,
+warm paths); the long tail gets 1 run. The first recorded run of this
+protocol is the baseline (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# The queries that define the headline metric: one per operator family,
+# weighted toward shuffle-heavy shapes that dominate at scale.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders_by_revenue",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "join_inner_customer_orders",
+    "window_row_number",
+    "topk_per_group",
+    "wordcount_documents",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "events_session_window",
+]
+
+
+def main() -> None:
+    from mapreducecore_spark.queries import REGISTRY, _load_all
+    from mapreducecore_spark.session import get_spark
+
+    _load_all()
+    spark = get_spark(app_name="mapreducecore-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run_once(fn) -> float:
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # Warm the JVM + parquet footers once before timing anything.
+    run_once(REGISTRY["q1_pricing_summary"].fn)
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        fn = REGISTRY[name].fn
+        try:
+            t = run_once(fn)
+            if name in HEADLINE:
+                t = min(t, run_once(fn))
+            timings[name] = round(t, 3)
+        except Exception as e:  # a broken query must not kill the bench
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    headline_total = sum(timings[n] for n in HEADLINE if timings.get(n, -1) >= 0)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_12q_total_sec",
+                "value": round(headline_total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

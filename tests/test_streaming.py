@@ -1,0 +1,178 @@
+"""Structured Streaming tests: deterministic micro-batch runs with
+file sources (one file = one batch) and memory sinks, per SURVEY §5
+item 4 — window finalization, watermark late-data drop, streaming
+dedup, stateful counts."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from datetime import datetime
+
+import pytest
+
+from mapreducecore_spark.streaming.windows import (
+    dedup_stream,
+    read_event_stream,
+    session_counts,
+    stateful_user_counts,
+    tumbling_counts,
+)
+
+
+def _ev(eid, ts, user=1, etype="click", value=1.0):
+    return (eid, datetime.fromisoformat(ts), user, etype, value, "{}")
+
+
+EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+
+    state = {"i": 0}
+
+    def write_batch(rows):
+        df = spark.createDataFrame(rows, EVENTS_COLS)
+        df.coalesce(1).write.mode("append").parquet(src)
+        state["i"] += 1
+
+    # Parquet dir must exist with data before the stream starts.
+    yield src, chk, write_batch
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def _run_query(df, mode, name):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", None or f"/tmp/chk-{name}-{uuid.uuid4().hex}")
+        .start()
+    )
+
+
+def test_tumbling_append_finalization_and_late_drop(spark, stream_env):
+    src, chk, write_batch = stream_env
+    # Batch 1: two events in the 10:00 window, one in 11:00.
+    write_batch(
+        [
+            _ev(1, "2024-06-01 10:05:00"),
+            _ev(2, "2024-06-01 10:20:00"),
+            _ev(3, "2024-06-01 11:01:00"),
+        ]
+    )
+    stream = read_event_stream(spark, src)
+    out = tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # Nothing finalized yet: watermark = 11:01 - 10min < 11:00.
+        # Batch 2: event far ahead advances watermark past the 10:00 and
+        # 11:00 windows -> both finalize.
+        write_batch([_ev(4, "2024-06-01 13:00:00")])
+        q.processAllAvailable()
+        rows = {
+            (r["wstart"].isoformat(), r["n"]) for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert ("2024-06-01T10:00:00", 2) in rows
+        assert ("2024-06-01T11:00:00", 1) in rows
+        # Batch 3: a LATE event inside the already-finalized 10:00 window
+        # -> dropped by the watermark, no new output row for that window.
+        write_batch([_ev(5, "2024-06-01 10:30:00"), _ev(6, "2024-06-01 14:00:00")])
+        q.processAllAvailable()
+        rows_after = [
+            r
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+            if r["wstart"].isoformat() == "2024-06-01T10:00:00"
+        ]
+        assert len(rows_after) == 1 and rows_after[0]["n"] == 2, (
+            "late event must not reopen a finalized window"
+        )
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup(spark, stream_env):
+    src, chk, write_batch = stream_env
+    write_batch([_ev(1, "2024-06-01 10:00:00"), _ev(1, "2024-06-01 10:00:30")])
+    stream = read_event_stream(spark, src)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Duplicate id arriving in a later batch (within watermark) is
+        # also suppressed by state.
+        write_batch([_ev(1, "2024-06-01 10:01:00"), _ev(2, "2024-06-01 10:02:00")])
+        q.processAllAvailable()
+        ids = [r["event_id"] for r in spark.sql(f"SELECT * FROM {name}").collect()]
+        assert sorted(ids) == [1, 2]
+    finally:
+        q.stop()
+
+
+def test_session_window_merge(spark, stream_env):
+    src, chk, write_batch = stream_env
+    # user 1: events 2 min apart (one session), then a 20-min gap (new session)
+    write_batch(
+        [
+            _ev(1, "2024-06-01 10:00:00", user=1),
+            _ev(2, "2024-06-01 10:02:00", user=1),
+            _ev(3, "2024-06-01 10:22:00", user=1),
+            _ev(4, "2024-06-01 12:00:00", user=2),  # watermark pusher
+        ]
+    )
+    stream = read_event_stream(spark, src)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_counts(stream, gap="5 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([_ev(5, "2024-06-01 14:00:00", user=2)])  # finalize all
+        q.processAllAvailable()
+        rows = {
+            (r["user_id"], r["session_start"].isoformat(), r["n_events"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert (1, "2024-06-01T10:00:00", 2) in rows
+        assert (1, "2024-06-01T10:22:00", 1) in rows
+    finally:
+        q.stop()
+
+
+def test_stateful_counts_update_mode(spark, stream_env):
+    src, chk, write_batch = stream_env
+    write_batch([_ev(1, "2024-06-01 10:00:00", user=7), _ev(2, "2024-06-01 10:01:00", user=7)])
+    stream = read_event_stream(spark, src)
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([_ev(3, "2024-06-01 10:05:00", user=7), _ev(4, "2024-06-01 10:06:00", user=9)])
+        q.processAllAvailable()
+        counts = {
+            r["user_id"]: r["n"] for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert counts[7] == 3 and counts[9] == 1
+    finally:
+        q.stop()
