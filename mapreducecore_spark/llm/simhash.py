@@ -1,0 +1,85 @@
+"""SimHash document fingerprinting (near-dup detection by Hamming
+distance), Arrow-batched.
+
+Core is pure Python (hashlib.md5 -> 64-bit token hashes -> bitwise
+majority vote) wrapped in a pandas UDF: genuinely non-SQL-expressible,
+so this op carries no DuckDB oracle — tests/test_llm_ops.py validates
+the UDF path against direct core application and checks that planted
+near-duplicates land within small Hamming distance.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from mapreducecore_spark.functions.text import tokenize
+
+
+def _token_hash64(token: str) -> int:
+    return struct.unpack(">Q", hashlib.md5(token.encode("utf-8")).digest()[:8])[0]
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over strtok tokens (weight = occurrence count).
+    Returned as a signed int64 (bit 63 becomes the sign bit)."""
+    votes = [0] * 64
+    for tok in tokenize(text):
+        h = _token_hash64(tok)
+        for bit in range(64):
+            votes[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if votes[bit] > 0:
+            out |= 1 << bit
+    return struct.unpack(">q", struct.pack(">Q", out))[0]
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(simhash64)
+
+
+def add_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("simhash", simhash64_udf(F.col(text_col)))
+
+
+def simhash_band_pairs(docs_with_hash: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates: split the 64-bit hash into 4 16-bit bands;
+    docs sharing any band are candidates (catches Hamming distance <= 3
+    with certainty by pigeonhole). Band join, never a cross join."""
+    banded = docs_with_hash.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.chunk")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+    )

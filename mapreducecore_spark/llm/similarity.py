@@ -1,0 +1,78 @@
+"""Embedding similarity: cosine expressions + multi-table sign-LSH.
+
+Sign-LSH (random-hyperplane family, here deterministic coordinate-pair
+hyperplanes e[i] - e[i+32]): P[bit agrees] = 1 - angle/pi. One k-bit
+table has recall p^k, so L tables give 1 - (1-p^k)^L — at cosine 0.9,
+4 tables x 8 bits ≈ 0.75 recall; at 0.95 ≈ 0.9. Each table is a plain
+equi-join on (table, code): candidate count scales with bucket
+occupancy, never O(n²) — that is the 100 TB path. Brute force
+(ann_cosine_topk) stays as the exact baseline.
+
+Everything is generated SQL over array columns (JVM-side, codegen'd);
+the same generator emits the DuckDB oracle so parity holds per-table.
+"""
+
+from __future__ import annotations
+
+N_TABLES = 4
+BITS = 8
+_HALF = 32  # hyperplane pairs (i, i+32) over 64-dim embeddings
+
+COS_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    " / (sqrt(aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    " * sqrt(aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))"
+)
+
+COS_DUCK = (
+    "list_inner_product({a}, {b})"
+    " / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+def _code_expr(table: int, elem_fn: str, emb: str = "emb") -> str:
+    """k-bit sign code for one table: bit i compares coordinates
+    (table*BITS + i) vs (table*BITS + i + 32), 1-based."""
+    terms = []
+    for i in range(1, BITS + 1):
+        lo = table * BITS + i
+        hi = lo + _HALF
+        terms.append(
+            f"(CASE WHEN {elem_fn}({emb}, {lo}) >= {elem_fn}({emb}, {hi}) "
+            f"THEN {1 << (i - 1)} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def spark_code_expr(table: int, emb: str = "emb") -> str:
+    return _code_expr(table, "element_at", emb)
+
+
+def duck_code_expr(table: int, emb: str = "emb") -> str:
+    return _code_expr(table, "list_extract", emb)
+
+
+def spark_tables_expr(emb: str = "emb") -> str:
+    """Array of (table, code) structs — explode to get one row per table."""
+    entries = ", ".join(
+        f"struct({t} AS tbl, {spark_code_expr(t, emb)} AS code)" for t in range(N_TABLES)
+    )
+    return f"array({entries})"
+
+
+def duck_tables_select(emb: str = "emb") -> str:
+    """DuckDB: one (tbl, code) per table via parallel unnest."""
+    tbls = ", ".join(str(t) for t in range(N_TABLES))
+    codes = ", ".join(duck_code_expr(t, emb) for t in range(N_TABLES))
+    return f"unnest([{tbls}]) AS tbl, unnest([{codes}]) AS code"
+
+
+def add_lsh_codes(df, emb_col: str = "emb"):
+    """Explode a vector DataFrame to one row per (vector, table) with
+    its bucket code. Input must carry `emb` as array<double>."""
+    cols = [c for c in df.columns if c != emb_col]
+    return df.selectExpr(
+        *cols,
+        emb_col,
+        f"explode({spark_tables_expr(emb_col)}) AS tc",
+    ).selectExpr(*cols, emb_col, "tc.tbl AS tbl", "tc.code AS code")

@@ -130,3 +130,25 @@ def run_job(
     )
     out = sorted_parts.mapPartitions(_grouped_reduce(reducer), preservesPartitioning=True)
     out.map(lambda kv: f"{kv[0]} {kv[1]}").saveAsTextFile(output_dir)
+
+
+def run(spark: SparkSession, config_path: str) -> None:
+    """The reference's public entry point, MapReduce::run(config)
+    (mapreduce.h:15 -> mapreduce_impl.cc:8-26): read+validate spec ->
+    configure Spark (shard size, R) -> run the job. Shard creation and
+    the master loop are Spark's file-source partitioning and scheduler."""
+    from mapreducecore_spark.config import read_and_validate_spec
+
+    spec = read_and_validate_spec(config_path)
+    for k, v in spec.spark_confs().items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    run_job(
+        spark,
+        spec.input_files,
+        spec.user_id,
+        spec.output_dir,
+        n_outputs=spec.n_output_files,
+    )

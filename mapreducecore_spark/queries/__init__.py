@@ -69,6 +69,7 @@ def _load_all() -> None:
         mapreduce_queries,
         llm,
         streaming_batch,
+        udfs,
     )
 
     _LOADED = True

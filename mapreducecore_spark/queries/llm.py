@@ -375,15 +375,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- similarity search
 
-_COS_SPARK = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    " / (sqrt(aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
-    " * sqrt(aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))"
-)
-
-_COS_DUCK = (
-    "list_inner_product({a}, {b})"
-    " / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+from mapreducecore_spark.llm.similarity import (  # noqa: E402
+    COS_DUCK as _COS_DUCK,
+    COS_SPARK as _COS_SPARK,
+    add_lsh_codes,
+    duck_tables_select,
+    spark_tables_expr,
 )
 
 
@@ -431,31 +428,22 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_SPARK = (
-    "CAST(aggregate(transform(sequence(1, 8), "
-    "i -> CASE WHEN element_at(emb, i) >= element_at(emb, i + 32) "
-    "THEN CAST(pow(2, i - 1) AS INT) ELSE 0 END), 0, (acc, v) -> acc + v) AS INT)"
-)
-
-_BUCKET_DUCK = (
-    "CAST(list_sum(list_transform(generate_series(1, 8), "
-    "i -> CASE WHEN list_extract(emb, i) >= list_extract(emb, i + 32) "
-    "THEN CAST(2 ** (i - 1) AS INT) ELSE 0 END)) AS INT)"
-)
-
-
 @register(
     "ann_lsh_bucketed",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label,
-                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                FROM embeddings),
-    be AS (SELECT *, {_BUCKET_DUCK} AS bucket FROM e),
-    q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM be WHERE vec_id < 8),
+    be AS (SELECT vec_id, emb, {duck_tables_select("emb")} FROM e),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb, tbl, code FROM be WHERE vec_id < 8),
+    cand AS (
+      SELECT DISTINCT q.q_id, be.vec_id AS neighbor_id
+      FROM q JOIN be ON q.tbl = be.tbl AND q.code = be.code AND be.vec_id <> q.q_id
+    ),
     sims AS (
-      SELECT q.q_id, be.vec_id AS neighbor_id,
-             ROUND({_COS_DUCK.format(a="q.q_emb", b="be.emb")}, 6) AS sim
-      FROM q JOIN be ON q.bucket = be.bucket AND be.vec_id <> q.q_id
+      SELECT c.q_id, c.neighbor_id,
+             ROUND({_COS_DUCK.format(a="qe.emb", b="ne.emb")}, 6) AS sim
+      FROM cand c JOIN e qe ON qe.vec_id = c.q_id
+                  JOIN e ne ON ne.vec_id = c.neighbor_id
     )
     SELECT q_id, neighbor_id, sim FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
@@ -465,26 +453,34 @@ _BUCKET_DUCK = (
     """,
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: deterministic sign-comparison LSH (8 bits from
-    coordinate-pair comparisons -> 256 buckets), candidates restricted to
-    the query's bucket. The scale path: bucket join instead of cross
-    join cuts candidate count ~256x; recall vs the brute-force baseline
-    is asserted in tests."""
+    """Approximate top-k via multi-table sign-LSH (4 tables x 8 bits):
+    candidates = union of per-table bucket joins, then exact cosine +
+    top-k on candidates only. The scale path — candidate count follows
+    bucket occupancy, never O(n²); recall on high-sim neighbors is
+    1-(1-p^8)^4 (tested on planted vectors in test_llm_ops)."""
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
     )
-    be = e.selectExpr("vec_id", "emb", f"{_BUCKET_SPARK} AS bucket")
+    be = add_lsh_codes(e)
     q = be.filter(F.col("vec_id") < 8).selectExpr(
-        "vec_id AS q_id", "emb AS q_emb", "bucket"
+        "vec_id AS q_id", "emb AS q_emb", "tbl", "code"
     )
-    cos = _COS_SPARK.format(a="q_emb", b="emb")
-    sims = (
-        be.join(F.broadcast(q), "bucket")
+    cand = (
+        be.join(F.broadcast(q), ["tbl", "code"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .selectExpr("q_id", "vec_id AS neighbor_id", f"ROUND({cos}, 6) AS sim")
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = e.selectExpr("vec_id AS q_id", "emb AS q_emb")
+    ne = e.selectExpr("vec_id AS neighbor_id", "emb AS n_emb")
+    cos = _COS_SPARK.format(a="q_emb", b="n_emb")
+    sims = (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(ne, "neighbor_id")
+        .selectExpr("q_id", "neighbor_id", f"ROUND({cos}, 6) AS sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -499,32 +495,45 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                FROM embeddings),
-    be AS (SELECT *, {_BUCKET_DUCK} AS bucket FROM e),
+    be AS (SELECT vec_id, emb, {duck_tables_select("emb")} FROM e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM be a JOIN be b ON a.tbl = b.tbl AND a.code = b.code
+                         AND a.vec_id < b.vec_id
+    ),
     pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND({_COS_DUCK.format(a="a.emb", b="b.emb")}, 6) AS cos_sim
-      FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      SELECT c.id_a, c.id_b,
+             ROUND({_COS_DUCK.format(a="ea.emb", b="eb.emb")}, 6) AS cos_sim
+      FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+                  JOIN e eb ON eb.vec_id = c.id_b
     )
-    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, bucketed by the same
-    sign-LSH so the pair join is per-bucket (true near-dups agree on
-    sign buckets with high probability)."""
+    """Embedding-cosine near-duplicate pairs over multi-table sign-LSH
+    candidates (true near-dups collide in some table w.h.p.)."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
     )
-    be = e.selectExpr("vec_id", "emb", f"{_BUCKET_SPARK} AS bucket")
-    a = be.selectExpr("vec_id AS id_a", "emb AS emb_a", "bucket")
-    b = be.selectExpr("vec_id AS id_b", "emb AS emb_b", "bucket")
+    be = add_lsh_codes(e)
+    a = be.selectExpr("vec_id AS id_a", "tbl", "code")
+    b = be.selectExpr("vec_id AS id_b", "tbl", "code")
+    cand = (
+        a.join(b, ["tbl", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = e.selectExpr("vec_id AS id_a", "emb AS emb_a")
+    eb = e.selectExpr("vec_id AS id_b", "emb AS emb_b")
     cos = _COS_SPARK.format(a="emb_a", b="emb_b")
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .selectExpr("id_a", "id_b", f"ROUND({cos}, 6) AS cos_sim")
-        .filter(F.col("cos_sim") >= 0.9)
+        .filter(F.col("cos_sim") >= 0.4)
     )
 
 

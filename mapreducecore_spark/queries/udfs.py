@@ -1,0 +1,147 @@
+"""UDF-surface queries — SURVEY.md §2.D "UDF surface" row.
+
+Demonstrates all four UDF shapes with engine-deterministic outputs:
+- row UDF (str -> str): mirrors the reference's per-line map contract
+  (mr_task_factory.h:20) — the slow path, kept off hot paths;
+- vectorized scalar pandas_udf (Arrow batches, elementwise double ops
+  are IEEE-exact so the oracle matches bit-for-bit);
+- grouped-map applyInPandas: mirrors the reference's reduce contract
+  (per-key grouped apply, mr_task_factory.h:38) — output is integer
+  ranks so cross-engine comparison is exact;
+- grouped-agg pandas_udf over int64 (exact arithmetic).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType
+
+from mapreducecore_spark.catalog import load_tables
+from mapreducecore_spark.queries import register
+
+
+@register(
+    "udf_row_strmap",
+    oracle="""
+    SELECT p_partkey, reverse(upper(p_name)) AS name_rev
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def udf_row_strmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the reference's map() shape). Kept on a
+    filtered slice — this is the documented slow path."""
+    t = load_tables(spark, sf_dir)
+
+    @F.udf(StringType())
+    def rev_upper(s: str) -> str:
+        return s.upper()[::-1]
+
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") < 500)
+        .select("p_partkey", rev_upper("p_name").alias("name_rev"))
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF: elementwise double arithmetic is
+    IEEE-exact, so it hash-matches the SQL expression with no rounding."""
+    t = load_tables(spark, sf_dir)
+
+    @F.pandas_udf("double")
+    def disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1 - discount)
+
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+        )
+    )
+
+
+@register(
+    "udf_grouped_map_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_quantity DESC, l_linenumber) AS INT)
+             AS qty_rank
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def udf_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the reference's reduce contract shape:
+    all rows of one key -> arbitrary Python). Integer ranks keep the
+    comparison exact."""
+    t = load_tables(spark, sf_dir)
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["l_quantity", "l_linenumber"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["qty_rank"] = (pdf.index + 1).astype("int32")
+        return pdf[["l_orderkey", "l_linenumber", "qty_rank"]]
+
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .groupBy("l_orderkey")
+        .applyInPandas(rank_group, "l_orderkey BIGINT, l_linenumber INT, qty_rank INT")
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag, CAST(SUM(l_linenumber) AS BIGINT) AS line_total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF over int64 (exact, order-free)."""
+    t = load_tables(spark, sf_dir)
+
+    @F.pandas_udf(LongType())
+    def int_sum(v: pd.Series) -> int:
+        return int(v.astype("int64").sum())
+
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(int_sum("l_linenumber").alias("line_total"))
+    )
+
+
+@register("simhash_docs", oracle=None)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (pandas UDF; non-SQL-expressible ->
+    rows-only driver check, validated in tests/test_llm_ops.py)."""
+    from mapreducecore_spark.llm.simhash import add_simhash
+
+    t = load_tables(spark, sf_dir)
+    return add_simhash(t["documents"]).select("doc_id", "simhash")
+
+
+@register("simhash_neardup_pairs", oracle=None)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding join: candidate pairs sharing a 16-bit band,
+    with exact Hamming distance attached (<=3 guaranteed caught)."""
+    from mapreducecore_spark.llm.simhash import add_simhash, simhash_band_pairs
+
+    t = load_tables(spark, sf_dir)
+    return simhash_band_pairs(add_simhash(t["documents"])).filter(F.col("hamming") <= 16)

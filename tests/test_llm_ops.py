@@ -1,0 +1,93 @@
+"""Validation for the non-SQL-expressible LLM ops (SimHash, LSH recall)
+and the multimodal decode seam."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducecore_spark.catalog import load_tables
+from mapreducecore_spark.llm.simhash import add_simhash, simhash64, simhash_band_pairs
+from mapreducecore_spark.queries import REGISTRY, _load_all
+
+_load_all()
+
+
+def test_simhash_udf_matches_core(spark, sf_dir):
+    """The Arrow/pandas-UDF path must agree with direct core calls."""
+    docs = load_tables(spark, sf_dir)["documents"].limit(50)
+    rows = add_simhash(docs).select("doc_id", "text", "simhash").collect()
+    assert rows
+    for r in rows:
+        assert r["simhash"] == simhash64(r["text"]), f"doc {r['doc_id']}"
+
+
+def test_simhash_similar_texts_close():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat again and again today"
+    c = "completely different content about spark shuffles and parquet files"
+    ham_ab = bin((simhash64(a) ^ simhash64(b)) & (2**64 - 1)).count("1")
+    ham_ac = bin((simhash64(a) ^ simhash64(c)) & (2**64 - 1)).count("1")
+    assert ham_ab < ham_ac
+    assert ham_ab <= 16
+
+
+def test_simhash_banding_catches_small_hamming(spark, sf_dir):
+    """Pigeonhole guarantee: any pair with Hamming <= 3 shares one of
+    the four 16-bit bands, so banding must surface it."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    hashed = add_simhash(docs).cache()
+    pairs = simhash_band_pairs(hashed)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # Brute-force reference on the collected hashes (test-only collect).
+    hs = [(r["doc_id"], r["simhash"]) for r in hashed.select("doc_id", "simhash").collect()]
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            ham = bin((hs[i][1] ^ hs[j][1]) & (2**64 - 1)).count("1")
+            if ham <= 3:
+                pair = (min(hs[i][0], hs[j][0]), max(hs[i][0], hs[j][0]))
+                assert pair in got, f"missed near-dup pair {pair} (hamming={ham})"
+    hashed.unpersist()
+
+
+def test_ann_lsh_recall_on_planted_neardups(spark):
+    """Sign-LSH's actual guarantee: high-cosine pairs collide in some
+    table w.h.p. (1-(1-p^8)^4 ≈ 0.75 at cosine 0.9). Plant near-dup
+    pairs deterministically and require most to be surfaced."""
+    import random
+
+    from mapreducecore_spark.llm.similarity import add_lsh_codes
+
+    rng = random.Random(42)
+    rows = []
+    n_planted = 40
+    for i in range(n_planted):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        # near-dup: tiny perturbation -> cosine ≈ 0.995
+        near = [x + rng.gauss(0, 0.05) for x in base]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, near))
+    df = spark.createDataFrame(rows, ["vec_id", "emb"]).selectExpr(
+        "vec_id", "transform(emb, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    be = add_lsh_codes(df)
+    a = be.selectExpr("vec_id AS id_a", "tbl", "code")
+    b = be.selectExpr("vec_id AS id_b", "tbl", "code")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, ["tbl", "code"])
+        .filter("id_a < id_b")
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    found = sum(1 for i in range(n_planted) if (2 * i, 2 * i + 1) in pairs)
+    assert found / n_planted >= 0.8, (
+        f"LSH missed too many planted near-dups: {found}/{n_planted}"
+    )
+
+
+def test_multimodal_decode_stub_raises_for_real_codec():
+    from mapreducecore_spark.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
