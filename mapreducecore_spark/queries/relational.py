@@ -524,6 +524,30 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_salted_hot_keys",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): a hot key
+    spreads over n_salts partial reducers, then re-folds — result is
+    identical to the plain group-by (that IS the oracle)."""
+    from mapreducecore_spark.operators import salted_aggregate
+
+    t = load_tables(spark, sf_dir)
+    out = salted_aggregate(
+        t["lineitem"],
+        ["l_returnflag"],
+        [F.count("*").alias("cnt"), F.sum(dec("l_quantity")).alias("sum_qty")],
+        n_salts=16,
+    )
+    return out.select("l_returnflag", "cnt", F.col("sum_qty").cast("double").alias("sum_qty"))
+
+
+@register(
     "agg_having",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders

@@ -172,6 +172,60 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(map_keys(MAP(['brand','type'], [p_brand, p_type])), ',') AS keys_csv,
+           map_extract(MAP(['brand','type'], [p_brand, p_type]), 'brand')[1] AS brand_val,
+           CAST(cardinality(MAP(['brand','type'], [p_brand, p_type])) AS INT) AS n_entries
+    FROM part WHERE p_partkey < 300
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: construction, key listing, value extraction."""
+    t = load_tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+            F.element_at(m, "brand").alias("brand_val"),
+            F.size(m).alias("n_entries"),
+        )
+    )
+
+
+@register(
+    "scalar_higher_order_funcs",
+    oracle="""
+    WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    SELECT p_partkey,
+           len(list_filter(words, x -> len(x) = 5)) > 0 AS has_len5,
+           len(list_filter(words, x -> len(x) > 2)) = len(words) AS all_len3plus,
+           CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS total_chars
+    FROM w
+    """,
+)
+def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: exists / forall / aggregate fold."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .select("p_partkey", F.split("p_name", " ").alias("words"))
+        .selectExpr(
+            "p_partkey",
+            "exists(words, x -> length(x) = 5) AS has_len5",
+            "forall(words, x -> length(x) > 2) AS all_len3plus",
+            "CAST(aggregate(words, 0, (acc, x) -> acc + length(x)) AS BIGINT) AS total_chars",
+        )
+    )
+
+
+@register(
     "scalar_json_funcs",
     oracle="""
     SELECT event_type,

@@ -1,0 +1,106 @@
+"""Tests for skew operators (salting must not change semantics) and
+the custom stateful streaming operator."""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from mapreducecore_spark.catalog import load_tables
+from mapreducecore_spark.operators import salted_aggregate, salted_join, top_k_per_group
+
+
+def test_salted_aggregate_equals_plain(spark, sf_dir):
+    li = load_tables(spark, sf_dir)["lineitem"]
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+    salted = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        [
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        ],
+        n_salts=8,
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(F.col("l_orderkey").alias("okey"), "l_quantity")
+    o = t["orders"].select(F.col("o_orderkey").alias("okey"), "o_orderstatus")
+    plain = li.join(o, "okey").groupBy("o_orderstatus").count()
+    salted = salted_join(li, o, ["okey"], n_salts=8).groupBy("o_orderstatus").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_top_k_per_group_operator(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    got = top_k_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 2
+    )
+    counts = got.groupBy("o_custkey").count().agg(F.max("count")).first()[0]
+    assert counts <= 2
+    # spot-check one customer against a driver-side sort
+    cust = o.groupBy("o_custkey").count().filter("count >= 3").first()["o_custkey"]
+    expect = [
+        r["o_orderkey"]
+        for r in sorted(
+            o.filter(F.col("o_custkey") == cust).collect(),
+            key=lambda r: (-r["o_totalprice"], r["o_orderkey"]),
+        )[:2]
+    ]
+    have = [
+        r["o_orderkey"]
+        for r in got.filter(F.col("o_custkey") == cust)
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .collect()
+    ]
+    assert have == expect
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    from mapreducecore_spark.streaming.stateful import running_user_stats
+    from mapreducecore_spark.streaming.windows import read_event_stream
+
+    src = str(tmp_path / "src")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def wb(rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(src)
+
+    wb([(1, datetime(2024, 6, 1, 10, 0), 7, "c", 2.0, "{}"),
+        (2, datetime(2024, 6, 1, 10, 1), 7, "c", 3.0, "{}")])
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(read_event_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wb([(3, datetime(2024, 6, 1, 10, 2), 7, "c", 5.0, "{}")])
+        q.processAllAvailable()
+        rows = spark.sql(
+            f"SELECT * FROM {name} ORDER BY n_events DESC LIMIT 1"
+        ).collect()
+        # State carried across batches: 3 events, total 10.0, max 5.0.
+        assert rows[0]["n_events"] == 3
+        assert rows[0]["total_value"] == 10.0
+        assert rows[0]["max_value"] == 5.0
+    finally:
+        q.stop()
