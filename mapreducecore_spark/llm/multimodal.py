@@ -48,13 +48,13 @@ def decode_features(blobs: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(fake_decode)
+            n_bytes = pdf["payload"].map(len)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": feats.map(lambda d: d["n_bytes"]),
-                    "fake_feature": feats.map(lambda d: d["fake_feature"]),
-                    "first_byte": feats.map(lambda d: d["first_byte"]),
+                    "n_bytes": n_bytes,
+                    "fake_feature": n_bytes % 256,
+                    "first_byte": pdf["payload"].map(lambda b: b[0] if b else -1),
                 }
             )
 

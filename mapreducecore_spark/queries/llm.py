@@ -124,26 +124,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.expr("size(toks) >= 3"))
         .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
     )
-    mh = (
-        sh.crossJoin(
-            spark.range(_MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
-        )
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")))).alias(
-                "minh"
+    # All 8 minhashes in ONE aggregation (8 min() columns) — a single
+    # shuffle keyed by doc_id, no seed explosion/join. Partial min()
+    # runs map-side, so shuffle volume is n_docs x 8 hashes regardless
+    # of shingle count.
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+            for s in range(_MINHASH_SEEDS)
+        ]
+    )
+    n_bands = _MINHASH_SEEDS // 2
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(":", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias(
+                            "sig"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
             )
-        )
-    )
-    bands = mh.groupBy(
-        "doc_id", (F.col("seed") / 2).cast("int").alias("band_id")
-    ).agg(
-        F.concat_ws(
-            ":",
-            F.max(F.when(F.col("seed") % 2 == 0, F.col("minh"))),
-            F.max(F.when(F.col("seed") % 2 == 1, F.col("minh"))),
-        ).alias("sig")
-    )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.sig")
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "sig"
     )

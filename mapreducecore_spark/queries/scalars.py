@@ -172,6 +172,83 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_lpad,
+           rpad(p_brand, 12, '.') AS brand_rpad,
+           replace(p_type, ' ', '_') AS type_snake,
+           repeat(p_brand, 2) AS brand_twice,
+           left(p_name, 4) AS name_left,
+           right(p_name, 4) AS name_right,
+           contains(p_name, 'a') AS has_a,
+           starts_with(p_type, 's') AS starts_s,
+           ends_with(p_type, 'd') AS ends_d,
+           split_part(p_name, ' ', 2) AS second_word,
+           CAST(strpos(p_name, 'e') AS INT) AS first_e,
+           translate(p_brand, 'AB', 'ab') AS brand_tr
+    FROM part WHERE p_partkey < 400
+    """,
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string batch: pad/replace/repeat/left/right/contains/
+    starts/ends/split_part/instr/translate."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") < 400)
+        .select(
+            "p_partkey",
+            F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+            F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+            F.expr("replace(p_type, ' ', '_')").alias("type_snake"),
+            F.repeat("p_brand", 2).alias("brand_twice"),
+            F.expr("left(p_name, 4)").alias("name_left"),
+            F.expr("right(p_name, 4)").alias("name_right"),
+            F.col("p_name").contains("a").alias("has_a"),
+            F.col("p_type").startswith("s").alias("starts_s"),
+            F.col("p_type").endswith("d").alias("ends_d"),
+            F.split_part("p_name", F.lit(" "), F.lit(2)).alias("second_word"),
+            F.instr("p_name", "e").alias("first_e"),
+            F.translate("p_brand", "AB", "ab").alias("brand_tr"),
+        )
+    )
+
+
+@register(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(isodow(o_orderdate) AS INT) AS isodow,
+           CAST(weekofyear(o_orderdate) AS INT) AS woy,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY, '%Y-%m-%d') AS plus_week,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2mo,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders WHERE o_orderkey < 1500
+    """,
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date batch: quarter / ISO day-of-week / ISO week /
+    date_add / add_months / last_day."""
+    t = load_tables(spark, sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 1500)
+        .select(
+            "o_orderkey",
+            F.quarter("o_orderdate").alias("q"),
+            (F.weekday("o_orderdate") + 1).alias("isodow"),
+            F.weekofyear("o_orderdate").alias("woy"),
+            F.date_format(F.date_add(d, 7), "yyyy-MM-dd").alias("plus_week"),
+            F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2mo"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        )
+    )
+
+
+@register(
     "scalar_map_funcs",
     oracle="""
     SELECT p_partkey,

@@ -52,6 +52,29 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_union_by_name",
+    oracle="""
+    SELECT nationkey, src FROM (
+        SELECT c_nationkey AS nationkey, 'cust' AS src FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supp' AS src FROM supplier
+    )
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: columns aligned by name, not position (the two
+    inputs deliberately have different column orders)."""
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(
+        F.col("c_nationkey").cast("int").alias("nationkey"), F.lit("cust").alias("src")
+    )
+    b = t["supplier"].select(
+        F.lit("supp").alias("src"), F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return a.unionByName(b)
+
+
+@register(
     "set_intersect",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer

@@ -85,6 +85,13 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def enrich_with_static(events: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (batch)
+    dimension table; Spark re-plans per batch so broadcast applies when
+    the dim is small."""
+    return events.join(dim, on)
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Running per-user counts (update/complete mode; unbounded keys ->
     in production pair with state TTL or switch to windowed counts)."""

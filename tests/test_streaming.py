@@ -154,6 +154,30 @@ def test_session_window_merge(spark, stream_env):
         q.stop()
 
 
+def test_stream_static_join(spark, stream_env):
+    from mapreducecore_spark.streaming.windows import enrich_with_static
+
+    src, chk, write_batch = stream_env
+    write_batch([_ev(1, "2024-06-01 10:00:00", user=1), _ev(2, "2024-06-01 10:01:00", user=2)])
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], ["user_id", "tier"])
+    stream = read_event_stream(spark, src)
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_with_static(stream, dim, "user_id")
+        .select("event_id", "user_id", "tier")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(r["event_id"], r["tier"]) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        assert rows == {(1, "gold"), (2, "silver")}
+    finally:
+        q.stop()
+
+
 def test_stateful_counts_update_mode(spark, stream_env):
     src, chk, write_batch = stream_env
     write_batch([_ev(1, "2024-06-01 10:00:00", user=7), _ev(2, "2024-06-01 10:01:00", user=7)])
