@@ -70,6 +70,7 @@ def _load_all() -> None:
         llm,
         streaming_batch,
         udfs,
+        advanced,
     )
 
     _LOADED = True

@@ -1,0 +1,399 @@
+"""Advanced relational surface: pivot/unpivot, subqueries, multiset set
+ops, argmax aggregates, exact cross-engine correlation, listagg, NULL
+ordering, deterministic sampling, as-of join, batch sessionization.
+
+All [EXT] per SURVEY.md §2.D (the reference has no relational operators;
+its whole surface is map/shuffle/reduce — worker.h:73-160). Determinism
+rules from queries/__init__ apply: decimal-exact aggregates, identical
+double expression trees on both engines, tie-proof orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducecore_spark.catalog import load_tables
+from mapreducecore_spark.queries import register
+from mapreducecore_spark.queries._util import d_str, dec
+
+
+@register(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p,
+           CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+                AS DOUBLE) AS rev_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority x status (fixed pivot values ->
+    no extra distinct-values job at scale), plus one pivoted revenue sum."""
+    t = load_tables(spark, sf_dir)
+    piv = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    z = F.lit(0).cast("long")
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F_cnt", z).alias("cnt_f"),
+        F.coalesce("O_cnt", z).alias("cnt_o"),
+        F.coalesce("P_cnt", z).alias("cnt_p"),
+        F.coalesce(F.col("F_rev").cast("double"), F.lit(0.0)).alias("rev_f"),
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide part measures -> long (measure, value) rows.
+    Narrow transform, no shuffle — stays in one stage with the scan."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .withColumn("p_size", F.col("p_size").cast("double"))
+        .unpivot("p_partkey", ["p_retailprice", "p_size"], "measure", "value")
+    )
+
+
+@register(
+    "subquery_scalar_threshold",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.5 * (
+        SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM part)
+    """,
+)
+def subquery_scalar_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts priced >1.5x the global mean.
+    The 1-row aggregate is broadcast — at any SF this is a map-side
+    filter, not a shuffle (threshold is decimal-exact on both engines)."""
+    t = load_tables(spark, sf_dir)
+    thr = t["part"].agg(
+        (F.sum(dec("p_retailprice")).cast("double") / F.count("*")).alias("__thr")
+    )
+    return (
+        t["part"]
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("p_retailprice") > 1.5 * F.col("__thr"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "subquery_correlated_avg",
+    oracle="""
+    SELECT p.p_partkey, p.p_type, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice > (
+        SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM part p2 WHERE p2.p_type = p.p_type)
+    """,
+)
+def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (price above its type's mean),
+    decorrelated into a window aggregate: ONE shuffle on p_type instead
+    of a per-row subquery — the standard rewrite Catalyst/DuckDB both
+    apply, here made explicit."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("p_type")
+    thr = F.sum(dec("p_retailprice")).over(w).cast("double") / F.count("*").over(w)
+    return (
+        t["part"]
+        .withColumn("__thr", thr)
+        .filter(F.col("p_retailprice") > F.col("__thr"))
+        .select("p_partkey", "p_type", "p_retailprice")
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics (min of multiplicities)."""
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    b = t["supplier"].select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference of multiplicities."""
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    b = t["supplier"].select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    return a.exceptAll(b)
+
+
+# Zero-padded "price|key" string: lexicographic order == (price, key)
+# numeric order, so argmax/argmin are tie-proof on BOTH engines even if
+# two orders share a totalprice.
+_PAD_FMT = "%020.4f|%019d"
+
+
+@register(
+    "agg_min_max_by",
+    oracle=f"""
+    SELECT o_orderstatus,
+           max_by(o_orderkey, printf('{_PAD_FMT}', o_totalprice, o_orderkey)) AS top_key,
+           min_by(o_orderkey, printf('{_PAD_FMT}', o_totalprice, o_orderkey)) AS bottom_key,
+           max(o_totalprice) AS top_price,
+           min(o_totalprice) AS bottom_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax/argmin) with a tie-proof composite key."""
+    t = load_tables(spark, sf_dir)
+    pad = F.format_string(_PAD_FMT, F.col("o_totalprice"), F.col("o_orderkey"))
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", pad).alias("top_key"),
+        F.min_by("o_orderkey", pad).alias("bottom_key"),
+        F.max("o_totalprice").alias("top_price"),
+        F.min("o_totalprice").alias("bottom_price"),
+    )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           ROUND((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr_qty_price,
+           ROUND((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * (n - 1)), 6) AS covar_samp
+    FROM s
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation/covariance rebuilt from DECIMAL-exact moment sums so
+    the value is bit-identical across engines (built-in corr() streams
+    doubles in engine-specific order -> low-bit drift). Single partial-
+    aggregated shuffle; the moments trick is also how you'd fold corr
+    into one pass at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    s = t["lineitem"].groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9
+        ).alias("corr_qty_price"),
+        F.round((n * sxy - sx * sy) / (n.cast("double") * (n - 1)), 6).alias("covar_samp"),
+    )
+
+
+@register(
+    "agg_bool_countif",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 50000)  AS all_big,
+           bool_or(o_totalprice > 400000)  AS any_huge,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or / count_if conditional aggregates."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 50000).alias("all_big"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+    )
+
+
+@register(
+    "agg_listagg_sorted",
+    oracle="""
+    SELECT n.n_name, string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg/string_agg with deterministic order: collect_list then
+    array_sort (collect order is nondeterministic under parallelism —
+    sorting after collection is the scale-safe idiom)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"))
+    )
+
+
+@register(
+    "orderby_nulls_first",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null
+    FROM orders
+    ORDER BY status_or_null NULLS FIRST, o_orderkey
+    LIMIT 50
+    """,
+)
+def orderby_nulls_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST global sort (Spark default for ASC is nulls-first;
+    declared explicitly here) with a unique tiebreaker key."""
+    t = load_tables(spark, sf_dir)
+    key = F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null")
+    return (
+        t["orders"]
+        .select("o_orderkey", key)
+        .orderBy(F.col("status_or_null").asc_nulls_first(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "sample_deterministic_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'
+    """,
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample by hashing the key (md5 agrees across
+    engines, unlike rand()/TABLESAMPLE). At 100 TB this is the
+    reproducible-sampling idiom: pure map-side, repeatable across runs
+    and engines, no seed coordination."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "a")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "join_asof_last_order",
+    oracle="""
+    WITH m AS (
+        SELECT e.event_id, e.user_id, max(o.o_orderdate) AS asof_ts
+        FROM events e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id, e.user_id)
+    SELECT m.event_id,
+           strftime(m.asof_ts, '%Y-%m-%d') AS asof_date,
+           max(o.o_orderkey) AS asof_orderkey
+    FROM m JOIN orders o
+      ON o.o_custkey = m.user_id AND o.o_orderdate = m.asof_ts
+    GROUP BY m.event_id, m.asof_ts
+    """,
+)
+def join_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event is enriched with the customer's latest
+    order at-or-before the event time (merge_asof: one shuffle + one
+    sort over |events|+|orders|, vs the oracle's O(E*O) subquery shape).
+    Ties on order date resolve to max o_orderkey on both engines."""
+    from mapreducecore_spark.operators.asof import merge_asof
+
+    t = load_tables(spark, sf_dir)
+    enriched = merge_asof(
+        t["events"].select("event_id", "user_id", "ts"),
+        t["orders"].select("o_custkey", "o_orderdate", "o_orderkey"),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderdate", "o_orderkey"],
+        tie_break="o_orderkey",
+    )
+    return enriched.filter(F.col("o_orderkey").isNotNull()).select(
+        "event_id",
+        d_str("o_orderdate", "asof_date"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+    )
+
+
+@register(
+    "events_sessionize_batch",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
+        FROM events),
+    gaps AS (
+        SELECT user_id, event_id, ts_s,
+               CASE WHEN lag(ts_s) OVER w IS NULL
+                         OR date_diff('second', lag(ts_s) OVER w, ts_s) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id))
+    SELECT user_id,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a >30 min silence. One shuffle on user_id shared by the lag
+    window and the final aggregate. Timestamps truncated to seconds so
+    the gap test agrees across engines (events.ts is ns in parquet)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    e = t["events"].select(
+        "user_id", "event_id", F.date_trunc("second", "ts").alias("ts_s")
+    )
+    prev = F.lag("ts_s").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts_s") - F.unix_timestamp(prev) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -104,3 +104,29 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
         assert rows[0]["max_value"] == 5.0
     finally:
         q.stop()
+
+
+def test_merge_asof_semantics(spark):
+    """Left as-of: latest right row at-or-before each left time; equal
+    timestamps match (inclusive); ties resolve to max tie_break;
+    unmatched left rows keep NULLs."""
+    from mapreducecore_spark.operators.asof import merge_asof
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 5), (4, "b", 10), (5, "c", 10)],
+        ["lid", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        # key a: rows at t=10 (tie: rid 100 vs 101) and t=15
+        [("a", 10, 100), ("a", 10, 101), ("a", 15, 102), ("b", 11, 200)],
+        ["rk", "rt", "rid"],
+    )
+    out = merge_asof(
+        left, right, "k", "rk", "t", "rt", value_cols=["rt", "rid"], tie_break="rid"
+    )
+    got = {r["lid"]: (r["rt"], r["rid"]) for r in out.collect()}
+    assert got[1] == (10, 101)       # inclusive <=, tie -> max rid
+    assert got[2] == (15, 102)       # latest at-or-before 20
+    assert got[3] == (None, None)    # before any right row
+    assert got[4] == (None, None)    # right exists only after t
+    assert got[5] == (None, None)    # key absent on right side
