@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,17 +28,22 @@ def _token_hash64(token: str) -> int:
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over strtok tokens (weight = occurrence count).
-    Returned as a signed int64 (bit 63 becomes the sign bit)."""
-    votes = [0] * 64
-    for tok in tokenize(text):
-        h = _token_hash64(tok)
-        for bit in range(64):
-            votes[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if votes[bit] > 0:
-            out |= 1 << bit
-    return struct.unpack(">q", struct.pack(">Q", out))[0]
+    Returned as a signed int64 (bit 63 becomes the sign bit).
+
+    The bit-majority vote is vectorized: all token hashes are unpacked
+    into a (n_tokens, 64) bit matrix and summed column-wise in numpy —
+    the per-token 64-iteration Python loop was the hot path (~4x of the
+    whole SimHash stage at sf0.1)."""
+    toks = tokenize(text)
+    if not toks:
+        return 0
+    digest = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks)
+    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8).reshape(-1, 8), axis=1)
+    # Column j holds bit (63-j) of each hash (big-endian byte + MSB-first
+    # unpack); majority vote per column, packed back the same way.
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
+    out = np.packbits((votes > 0).astype(np.uint8)).tobytes()
+    return struct.unpack(">q", out)[0]
 
 
 @F.pandas_udf(LongType())
@@ -52,7 +58,12 @@ def add_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_band_pairs(docs_with_hash: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-dup candidates: split the 64-bit hash into 4 16-bit bands;
     docs sharing any band are candidates (catches Hamming distance <= 3
-    with certainty by pigeonhole). Band join, never a cross join."""
+    with certainty by pigeonhole). Band join, never a cross join; the
+    hashed projection is materialized once so the SimHash UDF doesn't
+    run again for the second join branch."""
+    from mapreducecore_spark.queries._util import materialize
+
+    docs_with_hash = materialize(docs_with_hash.select(F.col(id_col), "simhash"))
     banded = docs_with_hash.select(
         F.col(id_col),
         "simhash",

@@ -42,3 +42,19 @@ def ts_str(c: str | Column, alias: str) -> Column:
 def d_str(c: str | Column, alias: str) -> Column:
     col = F.col(c) if isinstance(c, str) else c
     return F.date_format(col, "yyyy-MM-dd").alias(alias)
+
+
+def materialize(df):
+    """Compute once, reuse across self-join branches.
+
+    A DataFrame referenced on both sides of a join is otherwise fully
+    recomputed per branch (Spark plans are trees, not DAGs) — for the
+    dedup candidate generators that means running the expensive
+    shingle/minhash/LSH stage twice. localCheckpoint stores the computed
+    partitions in executor block storage and truncates lineage, so both
+    branches read the same materialized blocks. At cluster scale swap
+    for persist(StorageLevel.MEMORY_AND_DISK) + reliable checkpoint if
+    executor loss must be survivable (localCheckpoint blocks are not
+    fault-tolerant).
+    """
+    return df.localCheckpoint(eager=False)

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from mapreducecore_spark.catalog import load_tables
 from mapreducecore_spark.functions.text import SPLIT_REGEX, SPLIT_REGEX_SQL
 from mapreducecore_spark.queries import register
+from mapreducecore_spark.queries._util import materialize
 
 # ---------------------------------------------------------------- dedup
 
@@ -151,6 +152,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.sig")
+    # Materialize: both sides of the band self-join reuse the computed
+    # signatures instead of re-running the shingle+minhash stage.
+    bands = materialize(bands)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "sig"
     )
@@ -198,6 +202,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.expr("size(toks) >= 4"))
         .selectExpr("doc_id", f"explode({_shingles_expr(4)}) AS shingle")
     )
+    sh = materialize(sh)  # reused by sizes + both join branches
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -524,7 +529,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"].selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
     )
-    be = add_lsh_codes(e)
+    be = materialize(add_lsh_codes(e))
     a = be.selectExpr("vec_id AS id_a", "tbl", "code")
     b = be.selectExpr("vec_id AS id_b", "tbl", "code")
     cand = (

@@ -98,3 +98,37 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").agg(
         F.count("*").alias("n"), F.max("ts").alias("last_seen")
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "10 minutes",
+    join_horizon: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events
+    of the SAME user within [left.ts, left.ts + join_horizon]. Both
+    sides are watermarked so the state store can evict rows once the
+    event-time range condition can no longer match — without the time
+    bound, stream-stream join state grows forever."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"""
+            l_user = r_user AND
+            r_ts >= l_ts AND
+            r_ts <= l_ts + INTERVAL {join_horizon}
+            """
+        ),
+    )

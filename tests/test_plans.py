@@ -86,3 +86,58 @@ def test_ann_topk_broadcasts_queries(spark, sf_dir):
 def test_no_cartesian_products(spark, sf_dir, name):
     plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """merge_asof = union -> ONE exchange -> sort -> window. A second
+    exchange would mean the union sides shuffle separately."""
+    plan = plan_of(REGISTRY["join_asof_last_order"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Gaps-and-islands: the lag window and the per-user aggregate must
+    share one hashpartitioning(user_id) exchange."""
+    plan = plan_of(REGISTRY["events_sessionize_batch"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Co-located join: two tables bucketed+sorted on the join key join
+    with ZERO exchanges — the bucketing-instead-of-shuffle strategy for
+    repeated fact-to-fact joins at 100 TB."""
+    import uuid
+
+    from mapreducecore_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    suffix = uuid.uuid4().hex[:8]
+    bo, bl = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    try:
+        (
+            t["orders"].write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable(bo)
+        )
+        (
+            t["lineitem"].write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable(bl)
+        )
+        # Force the sort-merge path (at test SF the tables are tiny and
+        # would auto-broadcast, hiding the property under test).
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(bo).join(
+                spark.table(bl),
+                spark.table(bo)["o_orderkey"] == spark.table(bl)["l_orderkey"],
+            )
+            plan = plan_of(joined, "simple")
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan}"
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bo}")
+        spark.sql(f"DROP TABLE IF EXISTS {bl}")

@@ -200,3 +200,36 @@ def test_stateful_counts_update_mode(spark, stream_env):
         assert counts[7] == 3 and counts[9] == 1
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, stream_env):
+    from mapreducecore_spark.streaming.windows import interval_join_streams
+
+    src, chk, write_batch = stream_env
+    write_batch(
+        [
+            _ev(1, "2024-06-01 10:00:00", user=1, etype="click"),
+            _ev(2, "2024-06-01 10:02:00", user=1, etype="purchase"),
+            _ev(3, "2024-06-01 10:30:00", user=1, etype="view"),
+            _ev(4, "2024-06-01 10:01:00", user=2, etype="view"),
+        ]
+    )
+    joined = interval_join_streams(
+        read_event_stream(spark, src), read_event_stream(spark, src)
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.select("l_id", "r_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pairs = {(r["l_id"], r["r_id"]) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        # same user, r_ts in [l_ts, l_ts+5min]; event 3 is 28 min after
+        # event 2 -> outside the horizon; user 2 only self-joins.
+        assert pairs == {(1, 1), (1, 2), (2, 2), (3, 3), (4, 4)}
+    finally:
+        q.stop()
