@@ -549,6 +549,91 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "ann_ivf_coarse",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, c.c_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_COS_DUCK.format(a="e.emb", b="c.c_emb")}, 6) DESC, c.c_id
+             ) AS rn
+      FROM e CROSS JOIN c
+    ),
+    cells  AS (SELECT vec_id, c_id AS cell FROM assign WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, c_id AS cell FROM assign
+               WHERE vec_id < 8 AND rn <= 2),
+    cand AS (
+      SELECT DISTINCT p.q_id, m.vec_id AS neighbor_id
+      FROM probes p JOIN cells m ON m.cell = p.cell
+      WHERE m.vec_id <> p.q_id
+    ),
+    sims AS (
+      SELECT cand.q_id, cand.neighbor_id,
+             ROUND({_COS_DUCK.format(a="qe.emb", b="ne.emb")}, 6) AS sim
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.q_id
+      JOIN e ne ON ne.vec_id = cand.neighbor_id
+    )
+    SELECT q_id, neighbor_id, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+)
+def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    "centroid" (deterministic codebook = the 16 lowest vec_ids), then
+    search only the query's 2 closest cells (nprobe=2). The 100 TB
+    shape: assignment is a broadcast cross join against a CONSTANT-size
+    codebook (one map-side pass), the probe is an equi-join on cell id —
+    per-query work follows cell occupancy, never O(n2). Recall vs the
+    exact baseline is checked in tests/test_llm_ops.py."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    cents = e.filter(F.col("vec_id") < 16).selectExpr("vec_id AS c_id", "emb AS c_emb")
+    cos_assign = _COS_SPARK.format(a="emb", b="c_emb")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "c_id")
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .selectExpr("vec_id", "c_id", f"ROUND({cos_assign}, 6) AS sim")
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assign = materialize(assign.filter(F.col("rn") <= 2).select("vec_id", "c_id", "rn"))
+    cells = assign.filter(F.col("rn") == 1).selectExpr("vec_id", "c_id AS cell")
+    probes = assign.filter(F.col("vec_id") < 8).selectExpr("vec_id AS q_id", "c_id AS cell")
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = e.selectExpr("vec_id AS q_id", "emb AS q_emb")
+    ne = e.selectExpr("vec_id AS neighbor_id", "emb AS n_emb")
+    cos = _COS_SPARK.format(a="q_emb", b="n_emb")
+    sims = (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(ne, "neighbor_id")
+        .selectExpr("q_id", "neighbor_id", f"ROUND({cos}, 6) AS sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "neighbor_id", "sim")
+    )
+
+
 # ------------------------------------------------------------ multimodal
 
 @register(

@@ -326,3 +326,69 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.sum("k_typed").alias("sum_k"))
     )
+
+
+@register(
+    "scalar_bitwise_hash",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255 AS and_mask,
+           p_partkey | 4096 AS or_mask,
+           xor(p_partkey, 1023) AS xor_k,
+           p_partkey << 2 AS shl2,
+           p_partkey >> 1 AS shr1,
+           sha256(p_name) AS name_sha,
+           md5(p_brand) AS brand_md5,
+           CAST(least(CAST(p_size AS BIGINT), length(p_name)) AS BIGINT) AS lo,
+           CAST(greatest(CAST(p_size AS BIGINT), length(p_name)) AS BIGINT) AS hi
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def scalar_bitwise_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise ops, cryptographic hashes, least/greatest."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("p_partkey")
+    return (
+        t["part"]
+        .filter(k < 500)
+        .select(
+            "p_partkey",
+            k.bitwiseAND(255).alias("and_mask"),
+            k.bitwiseOR(4096).alias("or_mask"),
+            k.bitwiseXOR(1023).alias("xor_k"),
+            F.expr("p_partkey << 2").alias("shl2"),
+            F.expr("p_partkey >> 1").alias("shr1"),
+            F.sha2("p_name", 256).alias("name_sha"),
+            F.md5("p_brand").alias("brand_md5"),
+            F.least(F.col("p_size").cast("bigint"), F.length("p_name")).alias("lo"),
+            F.greatest(F.col("p_size").cast("bigint"), F.length("p_name")).alias("hi"),
+        )
+    )
+
+
+@register(
+    "scalar_struct_to_json",
+    oracle="""
+    SELECT p_partkey,
+           to_json({'key': p_partkey, 'brand': p_brand, 'size': p_size}) AS doc
+    FROM part WHERE p_partkey < 300
+    """,
+)
+def scalar_struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + JSON serialization (field order preserved,
+    compact encoding — byte-identical across engines)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.to_json(
+                F.struct(
+                    F.col("p_partkey").alias("key"),
+                    F.col("p_brand").alias("brand"),
+                    F.col("p_size").alias("size"),
+                )
+            ).alias("doc"),
+        )
+    )

@@ -264,3 +264,62 @@ def orderby_limit_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@register(
+    "window_range_interval_90d",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_90d
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def window_range_interval_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per-customer trailing-90-day revenue.
+    RANGE peers (same order date) aggregate identically on both engines,
+    so date ties are safe. Spark's numeric range frame over epoch
+    seconds == DuckDB's INTERVAL frame (both bounds inclusive)."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double")
+            .alias("rev_90d"),
+        )
+    )
+
+
+@register(
+    "agg_rollup_grouping_flags",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers distinguishing subtotal rows from
+    genuine NULL group keys."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count("*").alias("n"),
+        )
+    )

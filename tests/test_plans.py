@@ -141,3 +141,21 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {bo}")
         spark.sql(f"DROP TABLE IF EXISTS {bl}")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    must prune directories at planning time (PartitionFilters on the
+    scan), not read-then-filter — the difference between scanning 1/5th
+    and 5/5ths of 100 TB."""
+    from mapreducecore_spark.catalog import load_tables
+    from mapreducecore_spark.sources.io import write_parquet
+
+    t = load_tables(spark, sf_dir)
+    out = str(tmp_path / "orders_by_status")
+    write_parquet(t["orders"], out, partition_by=["o_orderstatus"])
+    df = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert df.count() > 0
