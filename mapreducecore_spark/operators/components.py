@@ -1,0 +1,70 @@
+"""Connected components by iterative min-label propagation.
+
+The dedup pipeline's final step: near-dup PAIRS (MinHash/SimHash band
+collisions) must become dup GROUPS — i.e. connected components of the
+similarity graph — so one canonical doc survives per group. The
+reference has no iterative operators at all (its only dataflow is one
+map->reduce pass, SURVEY §2.B); this is [EXT] scope from the north
+star's dedup requirement.
+
+Algorithm (scale stance): classic label propagation — every node starts
+labeled with itself; each round every node takes the min label among
+itself and its neighbors; converged when no label changes. Rounds =
+graph diameter (dup clusters are shallow: usually 2-4 rounds). Each
+round is one join + one aggregate, both partitioned on the node key;
+`materialize` truncates the growing lineage so round N doesn't replay
+rounds 1..N-1 (the standard iterative-Spark pattern; GraphX/GraphFrames
+do the same under the hood).
+
+The per-round convergence check is ONE count() of changed labels — a
+driver-side scalar, not a data collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreducecore_spark.queries._util import materialize
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Components of the undirected graph given by `pairs`.
+
+    Returns DataFrame[node, component] where component is the minimum
+    node id reachable from `node`. Only nodes that appear in some pair
+    are returned (isolated docs are their own trivial component and
+    need no row).
+    """
+    edges = materialize(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    labels = materialize(labels)
+
+    for _ in range(max_iter):
+        # neighbor labels flow along edges; keep the min per node
+        prop = edges.join(labels, edges["u"] == labels["node"]).select(
+            F.col("v").alias("node"), F.col("label")
+        )
+        new_labels = materialize(
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

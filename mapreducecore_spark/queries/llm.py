@@ -223,6 +223,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node, MIN(label) AS component FROM reach GROUP BY node
+"""
+
+
+@register("dedup_connected_components", oracle=_COMPONENTS_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS from near-dup PAIRS: connected components of the
+    MinHash-LSH candidate graph by iterative min-label propagation
+    (operators/components.py). The oracle computes the same components
+    with a recursive CTE — label propagation and transitive min-closure
+    agree exactly on converged labels."""
+    from mapreducecore_spark.operators.components import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return connected_components(pairs)
+
+
 # ---------------------------------------------------------- text analysis
 
 _STOPWORDS = ("the", "a", "of", "and", "to")

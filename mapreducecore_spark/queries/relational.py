@@ -562,3 +562,31 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 5)
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS n_a
+               FROM orders GROUP BY 1),
+         b AS (SELECT nullif(o_orderstatus, 'F') AS k, count(*) AS n_b
+               FROM orders GROUP BY 1)
+    SELECT a.k AS k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out."""
+    t = load_tables(spark, sf_dir)
+    a = (
+        t["orders"]
+        .groupBy(F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k"))
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        t["orders"]
+        .groupBy(F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("k"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"].alias("k"), "n_a", "n_b")

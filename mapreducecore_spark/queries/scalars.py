@@ -392,3 +392,58 @@ def scalar_struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc"),
         )
     )
+
+
+@register(
+    "scalar_regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '([aeiou])', '<\\1>', 'g') AS vowels_marked,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+           regexp_matches(p_name, '^[a-m]') AS starts_low,
+           regexp_extract(p_type, '([a-z]+)$', 1) AS last_word
+    FROM part WHERE p_partkey < 400
+    """,
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: global replace with backreference, match count,
+    rlike predicate, group extraction. (Spark replaces globally by
+    default; DuckDB needs the 'g' flag — same semantics either way.)"""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") < 400)
+        .select(
+            "p_partkey",
+            F.regexp_replace("p_name", "([aeiou])", "<$1>").alias("vowels_marked"),
+            F.regexp_count("p_name", F.lit("[aeiou]")).cast("int").alias("n_vowels"),
+            F.col("p_name").rlike("^[a-m]").alias("starts_low"),
+            F.regexp_extract("p_type", "([a-z]+)$", 1).alias("last_word"),
+        )
+    )
+
+
+@register(
+    "scalar_try_cast",
+    oracle="""
+    SELECT p_partkey,
+           try_cast(split_part(p_name, ' ', 1) AS INT) AS first_tok_int,
+           try_cast(p_brand AS DOUBLE) AS brand_dbl,
+           try_cast(CAST(p_size AS VARCHAR) AS INT) AS size_roundtrip
+    FROM part WHERE p_partkey < 400
+    """,
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast: malformed input becomes NULL instead of failing the
+    job — the difference between one bad record and a dead 100 TB run."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") < 400)
+        .select(
+            "p_partkey",
+            F.expr("try_cast(split_part(p_name, ' ', 1) AS INT)").alias("first_tok_int"),
+            F.expr("try_cast(p_brand AS DOUBLE)").alias("brand_dbl"),
+            F.expr("try_cast(CAST(p_size AS STRING) AS INT)").alias("size_roundtrip"),
+        )
+    )

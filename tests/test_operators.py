@@ -130,3 +130,16 @@ def test_merge_asof_semantics(spark):
     assert got[3] == (None, None)    # before any right row
     assert got[4] == (None, None)    # right exists only after t
     assert got[5] == (None, None)    # key absent on right side
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, and disjoint pair all collapse to min-id labels."""
+    from mapreducecore_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

@@ -233,3 +233,21 @@ def test_stream_stream_interval_join(spark, stream_env):
         assert pairs == {(1, 1), (1, 2), (2, 2), (3, 3), (4, 4)}
     finally:
         q.stop()
+
+
+def test_foreach_batch_idempotent_sink(spark, stream_env, tmp_path):
+    from mapreducecore_spark.streaming.sinks import idempotent_parquet_sink
+
+    src, chk, write_batch = stream_env
+    out = str(tmp_path / "sink_out")
+    write_batch([_ev(1, "2024-06-01 10:00:00"), _ev(2, "2024-06-01 10:01:00")])
+    write_batch([_ev(3, "2024-06-01 10:02:00")])
+    q = idempotent_parquet_sink(read_event_stream(spark, src), out, chk).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    # every event landed exactly once, across >= 2 batch directories
+    assert sorted(r["event_id"] for r in got.select("event_id").collect()) == [1, 2, 3]
+    assert got.select("batch").distinct().count() >= 2
