@@ -59,3 +59,71 @@ def decode_features(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame BINARY, n_frame_bytes INT"
+
+_FRAME_BYTES = 256  # fake codec: fixed-size byte slices stand in for frames
+
+
+def sample_frames(blobs: DataFrame, every_k: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: one input row fans out to one
+    row per sampled frame (mapInPandas may yield MORE rows than it
+    consumed — the explode-shaped UDF contract). The fake codec slices
+    the payload into fixed 256-byte frames and keeps every k-th; a real
+    implementation swaps the slicer for av/ffmpeg keyframe extraction,
+    the Spark plumbing (schema, fan-out, Arrow batching) is unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = max(1, len(payload) // _FRAME_BYTES)
+                for i in range(0, n, every_k):
+                    chunk = payload[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                    "n_frame_bytes": pd.Series(
+                        [len(f) for f in frames], dtype="int32"
+                    ),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id BIGINT, feature ARRAY<FLOAT>"
+
+
+def extract_feature_vectors(blobs: DataFrame) -> DataFrame:
+    """Fixed-width feature vector per payload (the embed step of an
+    image/audio pipeline). Fake featurizer = 4 byte-statistics; the
+    output column is ARRAY<FLOAT> so it composes directly with the
+    similarity operators (llm/similarity.py) downstream."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                a = np.frombuffer(payload, dtype=np.uint8)
+                if a.size == 0:
+                    feats.append([0.0, 0.0, 0.0, 0.0])
+                else:
+                    feats.append(
+                        [
+                            float(a.size),
+                            float(a.mean()),
+                            float(a.max()),
+                            float(a[0]),
+                        ]
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)

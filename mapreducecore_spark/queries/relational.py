@@ -590,3 +590,126 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_b"))
     )
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"].alias("k"), "n_a", "n_b")
+
+
+@register(
+    "join_salted_hot_keys",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_orderkey < 5000
+    """,
+)
+def join_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skew.py): the left side gets a
+    random-but-bounded salt, the right side is replicated n_salts ways,
+    so one hot join key spreads over n_salts tasks. The result set is
+    EXACTLY the plain join's — that is the oracle."""
+    from mapreducecore_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(F.col("l_orderkey") < 5000).select(
+        "l_orderkey", "l_linenumber"
+    )
+    o = t["orders"].filter(F.col("o_orderkey") < 5000).selectExpr(
+        "o_orderkey AS l_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return salted_join(l, o, ["l_orderkey"], n_salts=8).select(
+        "l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated inequality — expressed
+    as a left-semi join with a compound condition (equi key + theta
+    predicate), so the semi join still hash-partitions on the key."""
+    t = load_tables(spark, sf_dir)
+    o, l = t["orders"], t["lineitem"]
+    return (
+        o.join(
+            l,
+            (l["l_orderkey"] == o["o_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: count-of-counts (orders per customer, then the
+    distribution of those counts). Two aggregations; the second input is
+    one row per customer, so the second shuffle is tiny."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120)
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a HAVING aggregate -> semi join against
+    the pre-aggregated big-order keys, then the detail join+aggregate.
+    Both shuffles key on orderkey, so AQE can reuse the partitioning."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 120)
+        .select("l_orderkey")
+    )
+    o = t["orders"].join(big, F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+    return (
+        o.join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )

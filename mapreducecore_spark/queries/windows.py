@@ -323,3 +323,54 @@ def agg_rollup_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS d_parts,
+           count(DISTINCT l_suppkey) AS d_supps,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate — Catalyst plans an
+    Expand (one replicated stream per distinct set) so a single pass
+    covers all three aggregates."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_suppkey").alias("d_supps"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           lag(o_orderkey, 2, -1) OVER w AS lag2,
+           lead(o_orderkey, 3, -1) OVER w AS lead3,
+           last_value(nullif(o_orderstatus, 'O') IGNORE NULLS) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS UNBOUNDED PRECEDING) AS last_nonopen
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with offset+default, and last_value IGNORE NULLS (the
+    forward-fill idiom: carry the last non-null observation)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t["orders"].select(
+        "o_orderkey",
+        F.lag("o_orderkey", 2, -1).over(w).alias("lag2"),
+        F.lead("o_orderkey", 3, -1).over(w).alias("lead3"),
+        F.last(F.nullif(F.col("o_orderstatus"), F.lit("O")), ignorenulls=True)
+        .over(wf)
+        .alias("last_nonopen"),
+    )

@@ -107,3 +107,57 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         ivf[r["q_id"]].add(r["neighbor_id"])
     recalls = [len(exact[q] & ivf.get(q, set())) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_frame_sampling_fanout_and_schema(spark, sf_dir):
+    """One payload row fans out to ceil(n_frames / k) frame rows with
+    typed (doc_id, frame_idx, frame, n_frame_bytes) output."""
+    from pyspark.sql import functions as F
+
+    from mapreducecore_spark.catalog import load_tables
+    from mapreducecore_spark.llm.multimodal import _FRAME_BYTES, sample_frames
+
+    t = load_tables(spark, sf_dir)
+    blobs = (
+        t["documents"].limit(20).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    frames = sample_frames(blobs, every_k=4)
+    assert [f.name for f in frames.schema.fields] == [
+        "doc_id", "frame_idx", "frame", "n_frame_bytes",
+    ]
+    rows = frames.collect()
+    src = {r["doc_id"]: r["payload"] for r in blobs.collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, payload in src.items():
+        n = max(1, len(payload) // _FRAME_BYTES)
+        expect = len(range(0, n, 4))
+        assert len(by_doc[doc_id]) == expect
+        for r in by_doc[doc_id]:
+            assert bytes(r["frame"]) == payload[
+                r["frame_idx"] * _FRAME_BYTES : (r["frame_idx"] + 1) * _FRAME_BYTES
+            ]
+
+
+def test_feature_vectors_compose_with_similarity(spark, sf_dir):
+    """Fake featurizer yields ARRAY<FLOAT> vectors usable by the cosine
+    expression from llm/similarity.py (the compose-downstream contract)."""
+    from pyspark.sql import functions as F
+
+    from mapreducecore_spark.catalog import load_tables
+    from mapreducecore_spark.llm.multimodal import extract_feature_vectors
+    from mapreducecore_spark.llm.similarity import COS_SPARK
+
+    t = load_tables(spark, sf_dir)
+    blobs = (
+        t["documents"].limit(10).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    feats = extract_feature_vectors(blobs).selectExpr(
+        "doc_id", "transform(feature, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    cos = COS_SPARK.format(a="emb", b="emb")
+    rows = feats.selectExpr("doc_id", f"{cos} AS self_sim").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r["self_sim"] - 1.0) < 1e-9  # self-cosine == 1

@@ -6,6 +6,7 @@ from __future__ import annotations
 import uuid
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreducecore_spark.catalog import load_tables
@@ -143,3 +144,29 @@ def test_connected_components_shapes(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_merge_asof_matches_naive(spark, seed):
+    """Randomized check: merge_asof == nested-loop reference (latest
+    right at-or-before, max tie_break on time ties) on small graphs."""
+    import random
+
+    rng = random.Random(seed)
+    left = [(i, rng.randrange(5), rng.randrange(30)) for i in range(40)]
+    right = [(100 + j, rng.randrange(5), rng.randrange(30)) for j in range(25)]
+
+    def naive(lk, lt):
+        cands = [(rt, rid) for rid, rk, rt in right if rk == lk and rt <= lt]
+        return max(cands) if cands else (None, None)
+
+    ldf = spark.createDataFrame(left, ["lid", "k", "t"])
+    rdf = spark.createDataFrame(
+        [(rk, rt, rid) for rid, rk, rt in right], ["rk", "rt", "rid"]
+    )
+    from mapreducecore_spark.operators.asof import merge_asof
+
+    out = merge_asof(ldf, rdf, "k", "rk", "t", "rt", ["rt", "rid"], tie_break="rid")
+    got = {r["lid"]: (r["rt"], r["rid"]) for r in out.collect()}
+    for lid, lk, lt in left:
+        assert got[lid] == naive(lk, lt), (lid, lk, lt)
