@@ -43,12 +43,13 @@ def connected_components(
             pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
     )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # Seed labels with min(node, neighbors) — one aggregate that does
+    # the work of the whole first propagation round.
+    labels = materialize(
+        edges.groupBy(F.col("u").alias("node")).agg(
+            F.least(F.first("u"), F.min("v")).alias("label")
+        )
     )
-    labels = materialize(labels)
 
     for _ in range(max_iter):
         # neighbor labels flow along edges; keep the min per node

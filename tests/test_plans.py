@@ -159,3 +159,34 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
     assert df.count() > 0
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Runtime skew handling: a 99%-hot key must trigger AQE's skew
+    split (SortMergeJoin(skew=true) + AQEShuffleRead skewed) instead of
+    one straggler task — the mechanism the reference lacks entirely
+    (its reducer dies on hot keys, worker.h:127)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).withColumn(
+            "k", F.when(F.col("id") % 100 < 99, 0).otherwise(F.col("id"))
+        )
+        right = spark.range(0, 5_000).withColumn("k", F.col("id") % 1000)
+        j = left.join(right.withColumnRenamed("id", "rid"), "k")
+        j.collect()  # AQE finalizes the plan only on this DF's own action
+        plan = plan_of(j, "simple")
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE did not split the skewed join:\n{plan}"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
