@@ -91,21 +91,37 @@ def _shingles_duck(n: int) -> str:
 
 _MINHASH_SEEDS = 8  # 4 bands x 2 rows
 
+# One md5 per shingle -> 60-bit int h; per-seed minhash is a linear
+# permutation (a_s*h + b_s) mod (2^61-1) in DECIMAL(38,0) — exact and
+# identical on both engines, ~8x fewer hash computations than hashing
+# per (seed, shingle).
+_MINHASH_P = 2305843009213693951
+
+
+def _mh_formula(h_expr: str, seed: int) -> str:
+    a, b = 2 * seed + 1, 1000003 * seed + 17
+    return (
+        f"CAST((CAST({h_expr} AS DECIMAL(38,0)) * {a} + {b}) % {_MINHASH_P} AS BIGINT)"
+    )
+
+
 _MINHASH_ORACLE = f"""
     WITH docs AS (
       SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
     ), sh AS (
-      SELECT doc_id, unnest({_shingles_duck(3)}) AS shingle
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest({_shingles_duck(3)})), 1, 15)) AS BIGINT) AS h
       FROM docs WHERE len(toks) >= 3
     ), mh AS (
-      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minh
-      FROM sh, (SELECT unnest(range({_MINHASH_SEEDS})) AS seed) seeds
-      GROUP BY doc_id, seed
+      SELECT doc_id,
+             {", ".join(f"MIN({_mh_formula('h', s)}) AS mh{s}" for s in range(_MINHASH_SEEDS))}
+      FROM sh GROUP BY doc_id
     ), bands AS (
-      SELECT doc_id, seed // 2 AS band_id,
-             MAX(CASE WHEN seed % 2 = 0 THEN minh END)
-               || ':' || MAX(CASE WHEN seed % 2 = 1 THEN minh END) AS sig
-      FROM mh GROUP BY doc_id, seed // 2
+      SELECT doc_id, band_id, sig FROM (
+        SELECT doc_id,
+               unnest([{", ".join(str(b) for b in range(_MINHASH_SEEDS // 2))}]) AS band_id,
+               unnest([{", ".join(f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR)" for b in range(_MINHASH_SEEDS // 2))}]) AS sig
+        FROM mh)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -127,11 +143,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # All 8 minhashes in ONE aggregation (8 min() columns) — a single
     # shuffle keyed by doc_id, no seed explosion/join. Partial min()
-    # runs map-side, so shuffle volume is n_docs x 8 hashes regardless
-    # of shingle count.
+    # runs map-side, so shuffle volume is n_docs x 8 ints regardless of
+    # shingle count; one md5 per shingle, 8 arithmetic permutations.
+    sh = sh.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h",
+    )
     mh = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+            F.min(F.expr(_mh_formula("h", s))).alias(f"mh{s}")
             for s in range(_MINHASH_SEEDS)
         ]
     )
