@@ -397,3 +397,140 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(date_trunc('second', ts)) AS signup_s
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+        SELECT e.user_id, min(date_trunc('second', e.ts)) AS first_purchase_s
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND date_trunc('second', e.ts) > s.signup_s
+        GROUP BY e.user_id)
+    SELECT s.user_id,
+           strftime(s.signup_s, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+           strftime(p.first_purchase_s, '%Y-%m-%d %H:%M:%S') AS first_purchase_ts
+    FROM s LEFT JOIN p ON p.user_id = s.user_id
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per signed-up user, the first purchase strictly
+    after signup (NULL = not converted). Both stages aggregate on
+    user_id, so the whole funnel runs in one partitioning. Timestamps
+    are second-truncated before comparison so the ns (DuckDB) vs micros
+    (Spark) gap cannot flip the strict > at the boundary."""
+    from mapreducecore_spark.queries._util import ts_str
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id", "event_type", F.date_trunc("second", "ts").alias("ts_s")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("signup_s"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts_s") > F.col("signup_s"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("first_purchase_s"))
+    )
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        ts_str("signup_s", "signup_ts"),
+        ts_str("first_purchase_s", "first_purchase_ts"),
+    )
+
+
+@register(
+    "events_day_retention",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events)
+    SELECT strftime(a.d, '%Y-%m-%d') AS day,
+           count(*) AS retained_next_day
+    FROM days a JOIN days b
+      ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+    GROUP BY a.d
+    """,
+)
+def events_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: users active on day d who return on
+    d+1. The (user, day) dedup is the only shuffle that scales with raw
+    events; the self-join runs on the far smaller distinct set."""
+    t = load_tables(spark, sf_dir)
+    days = t["events"].select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    a = days
+    b = days.select(F.col("user_id"), F.col("d").alias("d_next"))
+    return (
+        a.join(b, (b["user_id"] == a["user_id"]) & (F.col("d_next") == F.date_add(a["d"], 1)))
+        .groupBy(a["d"])
+        .agg(F.count("*").alias("retained_next_day"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "retained_next_day")
+    )
+
+
+@register(
+    "events_cdc_latest_state",
+    oracle="""
+    SELECT user_id,
+           max_by(event_type, printf('%019d|%019d',
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id))
+             AS last_type,
+           CAST(max_by(value, printf('%019d|%019d',
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id))
+             AS DOUBLE) AS last_value,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def events_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-state compaction: one row per key holding the
+    most recent attributes (argmax over a zero-padded time|id key —
+    tie-proof and identical across engines). One aggregate, no window,
+    no sort of the full history."""
+    t = load_tables(spark, sf_dir)
+    ordkey = F.format_string(
+        "%019d|%019d",
+        F.unix_timestamp(F.date_trunc("second", "ts")),
+        F.col("event_id"),
+    )
+    return t["events"].groupBy("user_id").agg(
+        F.max_by("event_type", ordkey).alias("last_type"),
+        F.max_by("value", ordkey).cast("double").alias("last_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register("agg_approx_percentile", oracle=None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile): single pass,
+    bounded memory per partition, partial sketches merge at the
+    exchange — the 100 TB alternative to exact percentile's full sort.
+    Rows-only check (sketch internals are engine-specific); the exact
+    twin `agg_percentiles` is the oracle-checked variant."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("pcts")
+    )
+
+
+@register("sample_stratified", oracle=None)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum fractions with a
+    fixed seed — map-side, no shuffle; deterministic within Spark but
+    RNG-specific, hence rows-only (the cross-engine-deterministic
+    variant is sample_deterministic_hash)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].sampleBy(
+        "o_orderstatus", {"F": 0.1, "O": 0.05, "P": 0.5}, seed=42
+    ).select("o_orderkey", "o_orderstatus")
