@@ -150,3 +150,39 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return simhash_band_pairs(add_simhash(t["documents"])).filter(F.col("hamming") <= 16)
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity * 2 + 1 AS DOUBLE) AS derived
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python hook — RecordBatches come
+    straight from the JVM with no pandas conversion. Arithmetic is done
+    with pyarrow.compute (vectorized C++), so the Python layer only
+    orchestrates."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = load_tables(spark, sf_dir)
+
+    def double_plus_one(batches):
+        for batch in batches:
+            derived = pc.add(pc.multiply(batch.column("l_quantity"), 2.0), 1.0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"), derived],
+                ["l_orderkey", "l_linenumber", "derived"],
+            )
+
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .mapInArrow(
+            double_plus_one, "l_orderkey BIGINT, l_linenumber INT, derived DOUBLE"
+        )
+    )

@@ -251,3 +251,28 @@ def test_foreach_batch_idempotent_sink(spark, stream_env, tmp_path):
     # every event landed exactly once, across >= 2 batch directories
     assert sorted(r["event_id"] for r in got.select("event_id").collect()) == [1, 2, 3]
     assert got.select("batch").distinct().count() >= 2
+
+
+def test_trigger_available_now_drains_and_stops(spark, stream_env):
+    """Trigger.AvailableNow: process everything present, then stop on
+    its own — the batch-over-stream mode used for periodic backfill
+    jobs sharing the streaming code path."""
+    src, chk, write_batch = stream_env
+    write_batch([_ev(1, "2024-06-01 10:00:00"), _ev(2, "2024-06-01 10:20:00")])
+    write_batch([_ev(3, "2024-06-01 11:05:00")])
+    name = f"anow_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_counts(read_event_stream(spark, src), window="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # self-terminates after draining
+    assert not q.isActive
+    rows = {
+        (str(r["wstart"]), r["n"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert rows == {("2024-06-01 10:00:00", 2), ("2024-06-01 11:00:00", 1)}
