@@ -710,3 +710,104 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return decode_features(blobs)
+
+
+_QUALITY_KEY_FMT = "%08.6f|%019d"  # quality | inverted doc_id (ties -> lowest id)
+_INVERT = 1000000000000000000
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             ROUND(LEAST(CAST(len({_TOKS_DUCK}) AS DOUBLE) / 50.0, 1.0)
+                   * (1.0 - 0.5 * CAST(len(list_filter({_TOKS_DUCK},
+                        x -> list_contains([{_SW_SQL}], x))) AS DOUBLE)
+                     / GREATEST(len({_TOKS_DUCK}), 1)), 6) AS quality
+      FROM documents
+    )
+    SELECT md5(d.text) AS text_hash,
+           count(*) AS n_copies,
+           max_by(d.doc_id, printf('{_QUALITY_KEY_FMT}', q.quality,
+                                   {_INVERT} - d.doc_id)) AS keeper_doc_id,
+           max(q.quality) AS keeper_quality
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+    GROUP BY md5(d.text)
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline capstone: per exact-dup cluster keep the highest-
+    quality document (quality ties -> lowest doc_id, via a zero-padded
+    quality|inverted-id argmax key). One join + one aggregate — the
+    shape that survives 100 TB is exactly this: no per-cluster loops,
+    the keeper choice folds into the group-by."""
+    t = load_tables(spark, sf_dir)
+    q = text_quality_score(spark, sf_dir)
+    d = t["documents"].select("doc_id", F.md5("text").alias("text_hash"))
+    key = F.format_string(
+        _QUALITY_KEY_FMT, F.col("quality"), F.lit(_INVERT) - F.col("doc_id")
+    )
+    return (
+        d.join(q, "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.max_by("doc_id", key).alias("keeper_doc_id"),
+            F.max("quality").alias("keeper_quality"),
+        )
+    )
+
+
+@register(
+    "dedup_neardup_keeper",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id,
+             ROUND(LEAST(CAST(len({_TOKS_DUCK}) AS DOUBLE) / 50.0, 1.0)
+                   * (1.0 - 0.5 * CAST(len(list_filter({_TOKS_DUCK},
+                        x -> list_contains([{_SW_SQL}], x))) AS DOUBLE)
+                     / GREATEST(len({_TOKS_DUCK}), 1)), 6) AS quality
+      FROM documents
+    )
+    SELECT c.component,
+           count(*) AS cluster_size,
+           max_by(c.node, printf('{_QUALITY_KEY_FMT}', q.quality,
+                                 {_INVERT} - c.node)) AS keeper_doc_id
+    FROM comp c JOIN q ON q.doc_id = c.node
+    GROUP BY c.component
+    """,
+)
+def dedup_neardup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH candidate pairs -> connected
+    components -> per-cluster canonical document by quality (ties ->
+    lowest doc_id). The full 100 TB dedup pipeline in three composed
+    operators, each individually oracle-checked."""
+    from mapreducecore_spark.operators.components import connected_components
+
+    comps = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    q = text_quality_score(spark, sf_dir)
+    key = F.format_string(
+        _QUALITY_KEY_FMT, F.col("quality"), F.lit(_INVERT) - F.col("node")
+    )
+    return (
+        comps.join(q, comps["node"] == q["doc_id"])
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max_by("node", key).alias("keeper_doc_id"),
+        )
+    )
