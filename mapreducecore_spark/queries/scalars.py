@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from mapreducecore_spark.catalog import load_tables
 from mapreducecore_spark.queries import register
+from mapreducecore_spark.queries._util import dec
 
 
 @register(
@@ -446,4 +447,68 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("try_cast(p_brand AS DOUBLE)").alias("brand_dbl"),
             F.expr("try_cast(CAST(p_size AS STRING) AS INT)").alias("size_roundtrip"),
         )
+    )
+
+
+@register(
+    "scalar_timestamp_diff",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INT) AS ship_delay_days,
+           CAST(date_diff('second', date_trunc('second', o.o_orderdate),
+                          date_trunc('second', l.l_shipdate)) AS BIGINT) AS ship_delay_s
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_orderkey < 1500
+    """,
+)
+def scalar_timestamp_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal arithmetic across a join: order-to-ship latency in days
+    (boundary count) and in exact seconds."""
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 1500)
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("ship_delay_days"),
+        (
+            F.unix_timestamp(F.date_trunc("second", "l_shipdate"))
+            - F.unix_timestamp(F.date_trunc("second", "o_orderdate"))
+        ).alias("ship_delay_s"),
+    )
+
+
+@register(
+    "agg_null_semantics",
+    oracle="""
+    WITH t AS (SELECT nullif(o_orderstatus, 'O') AS s, o_totalprice FROM orders)
+    SELECT count(*) AS n_all,
+           count(s) AS n_nonnull,
+           CAST(count(DISTINCT s) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN s IS NULL THEN NULL
+                    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS sum_nonnull_price,
+           count(*) FILTER (WHERE s IS NULL) AS n_null
+    FROM t
+    """,
+)
+def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling aggregate contract: count(*) counts rows, count(col)
+    and SUM skip NULLs, count(DISTINCT) excludes NULL."""
+    t = load_tables(spark, sf_dir)
+    s = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    base = t["orders"].select(s.alias("s"), "o_totalprice")
+    return base.agg(
+        F.count("*").alias("n_all"),
+        F.count("s").alias("n_nonnull"),
+        F.countDistinct("s").alias("n_distinct"),
+        F.sum(F.when(F.col("s").isNull(), None).otherwise(dec("o_totalprice")))
+        .cast("double")
+        .alias("sum_nonnull_price"),
+        F.count_if(F.col("s").isNull()).alias("n_null"),
     )
