@@ -170,3 +170,43 @@ def test_merge_asof_matches_naive(spark, seed):
     got = {r["lid"]: (r["rt"], r["rid"]) for r in out.collect()}
     for lid, lk, lt in left:
         assert got[lid] == naive(lk, lt), (lid, lk, lt)
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_connected_components_matches_union_find(spark, seed):
+    """Randomized graphs: label propagation == classic union-find."""
+    import random
+
+    rng = random.Random(seed)
+    nodes = list(range(60))
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    # canonical label = min node of each set
+    members = {}
+    for a, b in pairs:
+        for x in (a, b):
+            members.setdefault(find(x), set()).add(x)
+    expect = {x: min(members[find(x)]) for ab in pairs for x in ab}
+
+    from mapreducecore_spark.operators.components import connected_components
+
+    pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {r["node"]: r["component"] for r in connected_components(pdf).collect()}
+    assert got == expect
