@@ -534,3 +534,32 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["orders"].sampleBy(
         "o_orderstatus", {"F": 0.1, "O": 0.05, "P": 0.5}, seed=42
     ).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "sample_per_group_hash",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey FROM (
+        SELECT o_orderstatus, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+                 AS rn
+        FROM orders)
+    WHERE rn <= 10
+    """,
+)
+def sample_per_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 10 rows per stratum chosen by
+    md5(key) order — behaves like a uniform draw but is reproducible
+    across runs AND engines (unlike sampleBy's RNG). The oracle-checked
+    twin of sample_stratified."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        t["orders"]
+        .select("o_orderstatus", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderstatus", "o_orderkey")
+    )
