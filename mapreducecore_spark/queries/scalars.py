@@ -512,3 +512,66 @@ def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_nonnull_price"),
         F.count_if(F.col("s").isNull()).alias("n_null"),
     )
+
+
+@register(
+    "scalar_array_funcs2",
+    oracle="""
+    WITH t AS (SELECT p_partkey,
+                      list_filter(string_split(p_name, ' '), x -> x <> '') AS words
+               FROM part WHERE p_partkey < 400)
+    SELECT p_partkey,
+           CAST(list_position(words, 'lace') AS INT) AS pos_lace,
+           words[1:2] AS first_two,
+           list_reverse_sort(words) AS words_desc,
+           CAST(len(range(1, CAST(len(words) AS BIGINT) + 1)) AS INT) AS idx_len
+    FROM t
+    """,
+)
+def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array batch: array_position / slice / descending sort /
+    sequence length round-trip."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") < 400)
+        .selectExpr(
+            "p_partkey",
+            "filter(split(p_name, ' '), x -> x != '') AS words",
+        )
+        .selectExpr(
+            "p_partkey",
+            "CAST(array_position(words, 'lace') AS INT) AS pos_lace",
+            "slice(words, 1, 2) AS first_two",
+            "reverse(array_sort(words)) AS words_desc",
+            "CAST(size(sequence(1, size(words))) AS INT) AS idx_len",
+        )
+    )
+
+
+@register(
+    "events_hourly_profile",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hr,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) AS n_total
+    FROM events GROUP BY 1
+    """,
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile (conditional counts per event type) —
+    the aggregate underlying traffic-shaping decisions; one shuffle of
+    24 x |types| partial counts."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.hour("ts").cast("int").alias("hr"))
+        .agg(
+            F.count_if(F.col("event_type") == "click").alias("n_click"),
+            F.count_if(F.col("event_type") == "view").alias("n_view"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchase"),
+            F.count("*").alias("n_total"),
+        )
+    )
