@@ -71,6 +71,7 @@ def _load_all() -> None:
         streaming_batch,
         udfs,
         advanced,
+        tpch_full,
     )
 
     _LOADED = True

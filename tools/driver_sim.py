@@ -3,7 +3,9 @@ tuning — the driver builds its own), import __spark_entry__, run
 entry(), then every queries() entry at sf0.01 compared against its
 oracle_sql() via DuckDB (row count + sorted-column value compare).
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [name_substr ...]
+With name_substr args, only queries whose name contains one of the
+substrings are run (faster iteration on a new batch).
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
 
 
 def norm_rows(rows, cols):
@@ -65,6 +68,8 @@ def main():
 
     qs = mod.queries()
     oracles = mod.oracle_sql()
+    if ONLY:
+        qs = {k: v for k, v in qs.items() if any(s in k for s in ONLY)}
     print(f"{len(qs)} queries, {len(oracles)} with oracles, sf_dir={SF}")
     n_pass = n_fail = 0
     for name, fn in sorted(qs.items()):
