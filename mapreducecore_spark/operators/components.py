@@ -16,8 +16,11 @@ round is one join + one aggregate, both partitioned on the node key;
 rounds 1..N-1 (the standard iterative-Spark pattern; GraphX/GraphFrames
 do the same under the hood).
 
-The per-round convergence check is ONE count() of changed labels — a
-driver-side scalar, not a data collect.
+Convergence detection costs no extra join: the per-node aggregate
+carries the PREVIOUS label alongside the new min (rows from the old
+label table are tagged before the union), so "did anything change" is
+a filter-count over the just-materialized result — a driver-side
+scalar per round, not a second shuffle.
 """
 
 from __future__ import annotations
@@ -38,11 +41,11 @@ def connected_components(
     are returned (isolated docs are their own trivial component and
     need no row).
     """
-    edges = materialize(
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
-    )
+    # Materialize the PAIRS (not the doubled edge list): both union
+    # branches and every propagation round then reread one checkpointed
+    # copy half the size of the symmetric edge list.
+    pairs = materialize(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # Seed labels with min(node, neighbors) — one aggregate that does
     # the work of the whole first propagation round.
     labels = materialize(
@@ -52,20 +55,24 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # neighbor labels flow along edges; keep the min per node
+        # Neighbor labels flow along edges; keep the min per node. Old
+        # rows are tagged so the same aggregate also yields each node's
+        # previous label — min-label propagation is monotone, so
+        # label < prev on any row iff the round changed something.
         prop = edges.join(labels, edges["u"] == labels["node"]).select(
-            F.col("v").alias("node"), F.col("label")
+            F.col("v").alias("node"), F.col("label"), F.lit(False).alias("is_old")
         )
+        old = labels.select("node", "label", F.lit(True).alias("is_old"))
         new_labels = materialize(
-            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+            old.union(prop)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_old"), F.col("label"))).alias("prev"),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") < F.col("prev")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
