@@ -72,6 +72,7 @@ def _load_all() -> None:
         udfs,
         advanced,
         tpch_full,
+        pipeline,
     )
 
     _LOADED = True

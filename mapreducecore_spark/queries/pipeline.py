@@ -1,0 +1,309 @@
+"""Training-data-pipeline operators beyond the dedup/ANN core —
+benchmark decontamination, repetition-based quality, corpus profiling,
+per-class embedding centroids, seeded k-means assignment.
+
+These are the remaining ops a 100 TB LLM data pipeline runs between
+crawl and training (SURVEY.md §2.D last row; reference has no analogue
+— absence per SURVEY.md §2.D preamble: reference's only data operators
+are S1-S6/D1-D7, mr_tasks.h / worker.h).
+
+Scale notes:
+- decontamination broadcasts the benchmark shingle set (eval suites are
+  tiny next to the corpus) so the corpus side never shuffles;
+- repetition/quality/profile ops are single-pass groupBy/agg with
+  map-side partial aggregation — one shuffle on the grouping key;
+- centroid computation shuffles (label, dim) pairs, 64x fan-out but
+  each row is 16 bytes — far cheaper than shuffling whole vectors;
+- k-means assignment broadcasts the K centroids; per-row work is a
+  JVM-side codegen'd fold, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducecore_spark.catalog import load_tables
+from mapreducecore_spark.queries import register
+from mapreducecore_spark.queries.llm import _TOKS, _TOKS_DUCK, _shingles_duck, _shingles_expr
+
+# Sequential-fold inner product — identical expression tree on both
+# engines (same pattern as llm.similarity.COS_SPARK / COS_DUCK).
+_IP_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+_IP_DUCK = "list_inner_product({a}, {b})"
+
+
+# ------------------------------------------------- decontamination
+
+# Deterministic stand-in for the benchmark/eval set: every 97th doc.
+_BENCH_PRED = "doc_id % 97 = 0"
+
+_DECONTAM_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_shingles_duck(5)}) AS shingle
+      FROM toks WHERE len(toks) >= 5
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE {_BENCH_PRED}
+    ), corpus AS (
+      SELECT doc_id, shingle FROM sh WHERE NOT ({_BENCH_PRED})
+    ), n_sh AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id
+    ), hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_overlap
+      FROM corpus c JOIN bench b USING (shingle) GROUP BY c.doc_id
+    )
+    SELECT h.doc_id, h.n_overlap, n.n_shingles,
+           ROUND(h.n_overlap / CAST(n.n_shingles AS DOUBLE), 6) AS overlap_frac
+    FROM hits h JOIN n_sh n USING (doc_id)
+"""
+
+
+@register("decontam_ngram_overlap", oracle=_DECONTAM_ORACLE)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag corpus docs sharing 5-token
+    shingles with a benchmark set (here: every 97th doc as the stand-in
+    eval suite). The benchmark shingle set is broadcast — the 100 TB
+    corpus side is filter+groupBy only, no corpus-vs-corpus shuffle."""
+    t = load_tables(spark, sf_dir)
+    sh = (
+        t["documents"]
+        .selectExpr("doc_id", f"{_TOKS} AS toks")
+        .filter("size(toks) >= 5")
+        .selectExpr("doc_id", f"explode({_shingles_expr(5)}) AS shingle")
+    )
+    sh = sh.localCheckpoint(eager=False)  # shingle once, read twice
+    bench = sh.filter(_BENCH_PRED).select("shingle").distinct()
+    corpus = sh.filter(f"NOT ({_BENCH_PRED})")
+    n_sh = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return hits.join(n_sh, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "n_shingles",
+        F.round(F.col("n_overlap") / F.col("n_shingles").cast("double"), 6).alias(
+            "overlap_frac"
+        ),
+    )
+
+
+# ------------------------------------------- repetition-based quality
+
+_REP_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, toks, {_shingles_duck(2)} AS grams2
+      FROM toks WHERE len(toks) >= 2
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           ROUND(1 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6)
+             AS token_rep,
+           ROUND(1 - len(grams2) / CAST(len(toks) - 1 AS DOUBLE), 6) AS bigram_rep
+    FROM g
+"""
+
+
+@register("quality_repetition_ratio", oracle=_REP_ORACLE)
+def quality_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the classic crawl-filter heuristics):
+    fraction of duplicate tokens and duplicate bigrams per doc. Pure
+    per-row array math — narrow, codegen'd, no shuffle at all."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .selectExpr("doc_id", f"{_TOKS} AS toks")
+        .filter("size(toks) >= 2")
+        .selectExpr("doc_id", "toks", f"{_shingles_expr(2)} AS grams2")
+        .selectExpr(
+            "doc_id",
+            "size(toks) AS n_tokens",
+            "size(array_distinct(toks)) AS n_distinct",
+            "ROUND(1 - size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE), 6)"
+            " AS token_rep",
+            "ROUND(1 - size(grams2) / CAST(size(toks) - 1 AS DOUBLE), 6)"
+            " AS bigram_rep",
+        )
+    )
+
+
+# -------------------------------------------------- corpus profiling
+
+@register(
+    "token_length_histogram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars, len({_TOKS_DUCK}) AS n_tokens FROM documents
+    )
+    SELECT CAST(n_tokens // 16 * 16 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_chars
+    FROM toks GROUP BY 1
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram (width-16 buckets): the length profile a
+    pipeline uses to pick sequence-packing parameters. One narrow
+    shuffle of (bucket, partial aggregates)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .selectExpr("n_chars", f"size({_TOKS}) AS n_tokens")
+        .groupBy(
+            (F.floor(F.col("n_tokens") / 16) * 16).cast("bigint").alias("bucket_lo")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "source_quality_profile",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, n_chars, len({_TOKS_DUCK}) AS n_tokens FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS short_frac
+    FROM d GROUP BY source
+    """,
+)
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (docs, language spread, length, short-doc
+    fraction) — the table a pipeline uses to set per-source sampling
+    weights. Single groupBy with map-side partials."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .selectExpr("source", "lang", "n_chars", f"size({_TOKS}) AS n_tokens")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_chars"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("short_frac"),
+        )
+    )
+
+
+# -------------------------------------------- embedding centroids
+
+@register(
+    "embedding_centroid_per_label",
+    oracle="""
+    SELECT label, CAST(i + 1 AS INT) AS dim,
+           ROUND(SUM(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE))
+                 / COUNT(*), 6) AS centroid
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid, one row per (label, dim). Shuffles
+    16-byte (label, dim, partial) rows instead of whole vectors — at
+    100 TB the map-side partial agg reduces each partition to
+    n_labels x 64 rows before the exchange."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["embeddings"]
+        .select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.sum(F.col("x").cast("double")) / F.count("*"), 6).alias(
+                "centroid"
+            )
+        )
+    )
+
+
+# ------------------------------------------- seeded k-means assignment
+
+_KM_DIST = "ROUND({aa} - 2 * {ab} + {bb}, 5)"
+
+
+@register(
+    "kmeans_assign_seeded",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb,
+                 {_IP_DUCK.format(a="emb", b="emb")} AS c_norm2
+          FROM e WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_KM_DIST.format(
+                 aa=_IP_DUCK.format(a="e.emb", b="e.emb"),
+                 ab=_IP_DUCK.format(a="e.emb", b="c.c_emb"),
+                 bb="c.c_norm2",
+             )} AS dist2
+      FROM e CROSS JOIN c
+    )
+    SELECT vec_id, centroid_id, dist2 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist2, centroid_id) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """,
+)
+def kmeans_assign_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step against K=8 seed centroids (the
+    lowest vec_ids — deterministic stand-in for sampled seeds).
+    Centroids broadcast; distance is the codegen'd fold
+    |a|² - 2a·b + |b|² with |b|² precomputed per centroid, so each row
+    costs one dot product per centroid and the big side never shuffles.
+    Iterating = alternate this with embedding_centroid_per_label's
+    aggregate."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    c = e.filter(F.col("vec_id") < 8).selectExpr(
+        "vec_id AS centroid_id",
+        "emb AS c_emb",
+        f"{_IP_SPARK.format(a='emb', b='emb')} AS c_norm2",
+    )
+    dist2 = _KM_DIST.format(
+        aa=_IP_SPARK.format(a="emb", b="emb"),
+        ab=_IP_SPARK.format(a="emb", b="c_emb"),
+        bb="c_norm2",
+    )
+    d = e.crossJoin(F.broadcast(c)).selectExpr(
+        "vec_id", "centroid_id", f"{dist2} AS dist2"
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "centroid_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "centroid_id", "dist2")
+    )
