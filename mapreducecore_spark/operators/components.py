@@ -32,7 +32,11 @@ from mapreducecore_spark.queries._util import materialize
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given by `pairs`.
 
@@ -40,12 +44,26 @@ def connected_components(
     node id reachable from `node`. Only nodes that appear in some pair
     are returned (isolated docs are their own trivial component and
     need no row).
+
+    n_partitions sizes every shuffle in the loop (default: a quarter of
+    the cluster's default parallelism, floor 8). Near-dup edge lists are
+    a small fraction of the corpus, so running the loop at the session's
+    full shuffle width just multiplies per-round task overhead; callers
+    with a huge dense graph pass a bigger value.
     """
+    spark = pairs.sparkSession
+    if n_partitions is None:
+        n_partitions = max(8, spark.sparkContext.defaultParallelism // 4)
     # Materialize the PAIRS (not the doubled edge list): both union
     # branches and every propagation round then reread one checkpointed
-    # copy half the size of the symmetric edge list.
+    # copy half the size of the symmetric edge list. The doubled list is
+    # hash-partitioned on the join key ONCE — the per-round join then
+    # reuses the checkpointed layout instead of re-exchanging the edges.
     pairs = materialize(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = materialize(
+        pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(n_partitions, "u")
+    )
     # Seed labels with min(node, neighbors) — one aggregate that does
     # the work of the whole first propagation round.
     labels = materialize(
@@ -65,6 +83,7 @@ def connected_components(
         old = labels.select("node", "label", F.lit(True).alias("is_old"))
         new_labels = materialize(
             old.union(prop)
+            .repartition(n_partitions, "node")
             .groupBy("node")
             .agg(
                 F.min("label").alias("label"),

@@ -44,6 +44,23 @@ def d_str(c: str | Column, alias: str) -> Column:
     return F.date_format(col, "yyyy-MM-dd").alias(alias)
 
 
+def spread(df, min_parts: int = 16):
+    """Widen narrow inputs before CPU-heavy per-row work.
+
+    A small parquet table arrives as ONE input split (file size <
+    maxPartitionBytes), so an expensive narrow stage downstream —
+    shingling, per-shingle md5, fingerprinting — runs as a single
+    serial task no matter how many cores the cluster has. One cheap
+    round-robin shuffle of the raw rows buys full parallelism for
+    everything after it. At 100 TB the input has thousands of splits
+    and this is a no-op (we only repartition when the scan is narrower
+    than min_parts), so the guard costs nothing at scale.
+    """
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
+
 def materialize(df):
     """Compute once, reuse across self-join branches.
 

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from mapreducecore_spark.catalog import load_tables
 from mapreducecore_spark.functions.text import SPLIT_REGEX, SPLIT_REGEX_SQL
 from mapreducecore_spark.queries import register
-from mapreducecore_spark.queries._util import materialize
+from mapreducecore_spark.queries._util import materialize, spread
 
 # ---------------------------------------------------------------- dedup
 
@@ -136,7 +136,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     All JVM-side (higher-order functions); the band join is the only
     shuffle that grows with candidate count, never a cross join."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].selectExpr("doc_id", f"{_TOKS} AS toks")
+    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
     sh = (
         docs.filter(F.expr("size(toks) >= 3"))
         .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
@@ -217,7 +217,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B| / (|A|+|B|-|A∩B|). The shingle join replaces the O(n²) cross
     join; hot shingles are the skew risk -> AQE skew-join handles it."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].selectExpr("doc_id", f"{_TOKS} AS toks")
+    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
     sh = (
         docs.filter(F.expr("size(toks) >= 4"))
         .selectExpr("doc_id", f"explode({_shingles_expr(4)}) AS shingle")
@@ -430,7 +430,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable under content reordering-free edits, JVM-side via
     higher-order functions (no UDF)."""
     t = load_tables(spark, sf_dir)
-    return t["documents"].selectExpr(
+    return spread(t["documents"]).selectExpr(
         "doc_id",
         "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
         "i -> md5(substring(text, i, 8)))) AS fingerprint",

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from mapreducecore_spark.catalog import load_tables
 from mapreducecore_spark.queries import register
+from mapreducecore_spark.queries._util import spread
 from mapreducecore_spark.queries.llm import _TOKS, _TOKS_DUCK, _shingles_duck, _shingles_expr
 
 # Sequential-fold inner product — identical expression tree on both
@@ -68,7 +69,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus side is filter+groupBy only, no corpus-vs-corpus shuffle."""
     t = load_tables(spark, sf_dir)
     sh = (
-        t["documents"]
+        spread(t["documents"])
         .selectExpr("doc_id", f"{_TOKS} AS toks")
         .filter("size(toks) >= 5")
         .selectExpr("doc_id", f"explode({_shingles_expr(5)}) AS shingle")
