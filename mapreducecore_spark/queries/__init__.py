@@ -73,6 +73,7 @@ def _load_all() -> None:
         advanced,
         tpch_full,
         pipeline,
+        graph,
     )
 
     _LOADED = True

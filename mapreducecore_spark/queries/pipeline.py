@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from mapreducecore_spark.catalog import load_tables
 from mapreducecore_spark.queries import register
-from mapreducecore_spark.queries._util import spread
+from mapreducecore_spark.queries._util import materialize, spread
 from mapreducecore_spark.queries.llm import _TOKS, _TOKS_DUCK, _shingles_duck, _shingles_expr
 
 # Sequential-fold inner product — identical expression tree on both
@@ -243,6 +243,93 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "centroid"
             )
         )
+    )
+
+
+# ---------------------------------------- blocked fuzzy entity match
+
+@register(
+    "fuzzy_match_blocked",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer
+    )
+    SELECT a.c_custkey AS key_a, c.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, c.c_name) AS INT) AS edit_dist
+    FROM b a JOIN b c
+      ON a.blk = c.blk AND a.c_custkey < c.c_custkey
+    WHERE levenshtein(a.c_name, c.c_name) <= 1
+    """,
+)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy join: candidate pairs share a
+    cheap blocking key (name prefix), edit distance is computed only
+    within blocks — never the O(n²) global cross join. The blocking key
+    is the knob: at 100 TB you'd use several redundant keys (prefix,
+    phonetic code, sorted-token hash) unioned, each individually
+    bounded."""
+    t = load_tables(spark, sf_dir)
+    b = t["customer"].select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a = b.select(
+        F.col("blk"),
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    c = b.select(
+        F.col("blk"),
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(c, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("key_a", "key_b", F.col("edit_dist").cast("int").alias("edit_dist"))
+    )
+
+
+# ------------------------------------- rolling 7-day distinct users
+
+@register(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), spine AS (SELECT DISTINCT d FROM daily)
+    SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT a.user_id) AS users_7d
+    FROM spine s JOIN daily a
+      ON a.d BETWEEN s.d - INTERVAL 6 DAY AND s.d
+    GROUP BY s.d
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. COUNT(DISTINCT)
+    isn't a window function, so: dedup to (user, day) grain first (the
+    only shuffle that scales with raw events), then a day-grain range
+    join against the tiny broadcast day spine re-counts each user in
+    the <=7 windows it falls into."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .distinct()
+    )
+    daily = materialize(daily)
+    spine = daily.select("d").distinct().withColumnRenamed("d", "day_end")
+    return (
+        daily.join(
+            F.broadcast(spine),
+            (F.col("d") <= F.col("day_end"))
+            & (F.col("d") >= F.date_sub(F.col("day_end"), 6)),
+        )
+        .groupBy("day_end")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.date_format("day_end", "yyyy-MM-dd").alias("day"), "users_7d")
     )
 
 
