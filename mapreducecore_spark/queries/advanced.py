@@ -563,3 +563,78 @@ def sample_per_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("o_orderstatus", "o_orderkey")
     )
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S'), 'current')
+             AS valid_to,
+           event_type AS state,
+           CAST(LEAD(ts) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 build from a change stream: each event opens a
+    validity interval closed by the user's next event ((ts, event_id)
+    ordering is tie-proof). One window over the user_id partitioning —
+    the standard dimension-history materialization at any scale."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return t["events"].select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"), F.lit("current")
+        ).alias("valid_to"),
+        F.col("event_type").alias("state"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_debounce",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM o
+    WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: keep a (user, type) event only if the previous event of
+    the same key is more than 1 hour older (lag-based gap filter, the
+    batch twin of streaming dropDuplicates-within-watermark). One window
+    shuffle on (user_id, event_type). Epoch-microsecond comparison on
+    both engines — second-floor casts would disagree on sub-second
+    gaps."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        t["events"]
+        .withColumn("prev_ts", prev)
+        .filter(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                > 3_600_000_000
+            )
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )

@@ -246,6 +246,98 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- co-occurrence mining
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b)
+             AS rn
+      FROM pairs
+    ) WHERE rn <= 100
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part pairs ordered together.
+    Dedup to (order, part) grain first, self-join on the order key
+    (pair fan-out is C(basket,2), bounded by basket size, never a
+    global cross join), then a global top-100 with a tie-proof order.
+    The order-key self-join is co-partitioned: one shuffle feeds both
+    sides."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    items = materialize(
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 100")
+        .select("part_a", "part_b", "n_orders")
+    )
+
+
+# --------------------------------------- weighted reproducible sample
+
+@register(
+    "sample_weighted_by_source",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 10 + 1)
+               / 10.0 AS keep_w,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, source, ROUND(keep_w, 6) AS keep_w
+    FROM w WHERE u < keep_w
+    """,
+)
+def sample_weighted_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sampling (the source-mixing step of a
+    training-data pipeline): keep probability comes from the source's
+    weight, the coin flip is a hash of the doc id — reproducible across
+    runs and engines, pure map-side, no rand() seed coordination."""
+    t = load_tables(spark, sf_dir)
+    keep_w = (
+        F.regexp_extract("source", "([0-9]+)", 1).cast("int") % 10 + 1
+    ) / 10.0
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "source",
+            keep_w.alias("keep_w"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.col("keep_w"))
+        .select("doc_id", "source", F.round("keep_w", 6).alias("keep_w"))
+    )
+
+
 # ---------------------------------------- blocked fuzzy entity match
 
 @register(
