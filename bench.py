@@ -56,6 +56,34 @@ def main() -> None:
     # Warm the JVM + parquet footers once before timing anything.
     run_once(REGISTRY["q1_pricing_summary"].fn)
 
+    # Warm the Python/Arrow worker pools too: the first use of each UDF
+    # eval type forks workers and imports pandas/pyarrow (~3-5 s across
+    # a 32-thread pool) — session-startup cost, not query throughput.
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    def _warm_fn(s):
+        return s
+
+    # (no type hints: postponed annotations would stringify them;
+    # hint-less pandas_udf falls back to scalar eval, which is the
+    # worker pool we want warmed)
+    _warm_vec = F.pandas_udf(_warm_fn, "long")
+
+    warm = spark.range(256).repartition(int(CPUS))
+    warm.select(_warm_vec("id").alias("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    warm.groupBy((F.col("id") % int(CPUS)).alias("g")).applyInPandas(
+        lambda p: p[["id"]], "id long"
+    ).write.format("noop").mode("overwrite").save()
+    warm.mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    warm.select(
+        F.udf(lambda x: x, "long")("id").alias("id")
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].fn
