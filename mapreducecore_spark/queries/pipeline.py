@@ -487,3 +487,248 @@ def kmeans_assign_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rn = 1")
         .select("vec_id", "centroid_id", "dist2")
     )
+
+
+# ------------------------------------------------------- TF-IDF
+
+_TFIDF_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document. Three aggregates over the token
+    explosion — term frequency (keyed by doc), document frequency
+    (keyed by token, map-side partials collapse each partition to its
+    distinct tokens), and the corpus count as a broadcast scalar. The
+    df table is vocabulary-sized — broadcast it, never shuffle the
+    corpus-sized tf side."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"])
+    toks = docs.selectExpr("doc_id", f"explode({_TOKS}) AS token")
+    toks = materialize(toks)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.count()  # driver scalar, same role as the oracle's CROSS JOIN n
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(n_docs) / F.col("df").cast("double")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+# ------------------------------------------- train/val/test split
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by hashing the doc id — stable
+    under reruns, engine-independent, and membership is decidable for
+    one doc without seeing the corpus (the property that matters when
+    the corpus is 100 TB and re-splits must not leak val into train)."""
+    t = load_tables(spark, sf_dir)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+    )
+
+
+# ------------------------------------------------- z-order layout
+
+def _z_expr(x: str, y: str, bits: int, div: str) -> str:
+    """Interleave the low `bits` bits of x (even positions) and y (odd)
+    using only integer div/mod — portable between Spark SQL and DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "layout_zorder_sort",
+    oracle=f"""
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           CAST({_z_expr('(l_partkey % 1024)', '(l_suppkey % 1024)', 10, '//')}
+                AS BIGINT) AS z
+    FROM lineitem
+    ORDER BY z, l_orderkey, l_partkey, l_suppkey
+    LIMIT 100
+    """,
+)
+def layout_zorder_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two join columns — the
+    data-layout idiom behind multi-dimensional file skipping: sorting
+    by interleaved bits keeps rows close in BOTH keys close on disk, so
+    min/max footer stats prune scans on either predicate. Pure integer
+    arithmetic, codegen'd; at scale this feeds
+    repartitionByRange(z).sortWithinPartitions(z) before the write."""
+    t = load_tables(spark, sf_dir)
+    z = _z_expr("(l_partkey % 1024)", "(l_suppkey % 1024)", 10, "div")
+    return (
+        t["lineitem"]
+        .selectExpr(
+            "l_orderkey", "l_partkey", "l_suppkey", f"CAST({z} AS BIGINT) AS z"
+        )
+        .orderBy("z", "l_orderkey", "l_partkey", "l_suppkey")
+        .limit(100)
+    )
+
+
+# ------------------------------------------------- bigram LM counts
+
+# ALL bigrams with multiplicity (the existing shingle helpers dedupe —
+# LM counts must not).
+_ALL_BIGRAMS_SPARK = (
+    "transform(sequence(1, size(toks) - 1), "
+    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+)
+_ALL_BIGRAMS_DUCK = (
+    "list_transform(generate_series(1, len(toks) - 1), "
+    "i -> concat_ws(' ', list_extract(toks, i), list_extract(toks, i + 1)))"
+)
+
+_BIGRAM_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), big AS (
+      SELECT unnest({_ALL_BIGRAMS_DUCK}) AS bigram
+      FROM toks WHERE len(toks) >= 2
+    ), c2 AS (
+      SELECT bigram, COUNT(*) AS n FROM big GROUP BY bigram
+    ), c1 AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, SUM(n) AS n1
+      FROM c2 GROUP BY 1
+    )
+    SELECT bigram, n, ROUND(n / CAST(n1 AS DOUBLE), 6) AS cond_p
+    FROM (
+      SELECT c2.bigram, c2.n, c1.n1,
+             ROW_NUMBER() OVER (ORDER BY c2.n DESC, c2.bigram) AS rn
+      FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1
+    ) WHERE rn <= 100
+"""
+
+
+@register("bigram_lm_counts", oracle=_BIGRAM_ORACLE)
+def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts with conditional probability
+    P(w2|w1) = c(w1 w2) / sum_w c(w1 w), top-100 bigrams (tie-proof
+    order). Two aggregates: bigram counts from the explosion, then
+    first-word totals over the (vocabulary²-sized, i.e. small) count
+    table — the corpus is touched once."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
+    big = (
+        docs.filter("size(toks) >= 2")
+        .selectExpr(f"explode({_ALL_BIGRAMS_SPARK}) AS bigram")
+    )
+    c2 = materialize(big.groupBy("bigram").agg(F.count("*").alias("n")))
+    c1 = (
+        c2.groupBy(F.split("bigram", " ").getItem(0).alias("w1"))
+        .agg(F.sum("n").alias("n1"))
+    )
+    joined = c2.join(
+        F.broadcast(c1), F.split(c2["bigram"], " ").getItem(0) == c1["w1"]
+    )
+    w = Window.orderBy(F.col("n").desc(), "bigram")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 100")
+        .select(
+            "bigram",
+            "n",
+            F.round(F.col("n") / F.col("n1").cast("double"), 6).alias("cond_p"),
+        )
+    )
+
+
+# ------------------------------------------- greedy sequence packing
+
+PACK_CAPACITY = 512
+
+
+@register("pack_sequences_greedy", oracle=None, doc="rows-only: stateful per-group scan")
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedily fill context windows of
+    PACK_CAPACITY tokens per language, docs in doc_id order (first-fit
+    on a deterministic order — reproducible across runs). A running
+    capacity-reset scan is inherently sequential per group, so this is
+    the applyInPandas seam: token counts are computed JVM-side first
+    and only narrow (lang, doc_id, n_tokens) rows reach Python. The
+    per-group state is O(1); groups parallelize across the cluster.
+    Not SQL-expressible without recursion -> rows-only driver check;
+    the exact packing is pinned by tests/test_pipeline_ops.py against
+    a pure-Python reference."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    narrow = spread(t["documents"]).selectExpr(
+        "lang", "doc_id", f"size({_TOKS}) AS n_tokens"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, cur = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > PACK_CAPACITY:
+                cur += 1
+                fill = 0
+            bins.append(cur)
+            fill += n
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["lang", "bin_id", "doc_id", "n_tokens"]]
+
+    return (
+        narrow.repartition(8, "lang")
+        .groupBy("lang")
+        .applyInPandas(pack, "lang STRING, bin_id BIGINT, doc_id BIGINT, n_tokens INT")
+    )

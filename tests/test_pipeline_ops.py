@@ -97,3 +97,33 @@ def test_kmeans_assignment_is_nearest_centroid(spark, sf_dir):
     }
     best = min(dists, key=lambda c: (round(dists[c], 5), c))
     assert rows[probe]["centroid_id"] == best
+
+
+def test_pack_sequences_matches_python_reference(spark, sf_dir):
+    import re
+
+    import duckdb
+
+    from mapreducecore_spark.queries.pipeline import (
+        PACK_CAPACITY,
+        pack_sequences_greedy,
+    )
+
+    got = {
+        (r["lang"], r["doc_id"]): (r["bin_id"], r["n_tokens"])
+        for r in pack_sequences_greedy(spark, sf_dir).collect()
+    }
+    # Pure-Python reference: same tokenization, same greedy first-fit.
+    rows = duckdb.sql(
+        f"SELECT lang, doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY lang, doc_id"
+    ).fetchall()
+    expect = {}
+    state = {}
+    for lang, doc_id, text in rows:
+        n = len([t for t in re.split(r"[^a-zA-Z0-9]+", text) if t])
+        cur, fill = state.get(lang, (0, 0))
+        if fill > 0 and fill + n > PACK_CAPACITY:
+            cur, fill = cur + 1, 0
+        expect[(lang, doc_id)] = (cur, n)
+        state[lang] = (cur, fill + n)
+    assert got == expect
