@@ -190,3 +190,34 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_tfidf_broadcasts_document_frequency(spark, sf_dir):
+    # The df (vocabulary) side must broadcast — shuffling the corpus-
+    # sized tf side against it would be the 100 TB bottleneck.
+    plan = plan_of(REGISTRY["tfidf_top_terms"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontam_broadcasts_benchmark_shingles(spark, sf_dir):
+    plan = plan_of(REGISTRY["decontam_ngram_overlap"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    plan = plan_of(REGISTRY["kmeans_assign_seeded"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_match_joins_on_block_key(spark, sf_dir):
+    # Blocking must make this an equi-join (hash join on blk); a plan
+    # that fell back to CartesianProduct means the blocking key was
+    # lost to the optimizer.
+    plan = plan_of(REGISTRY["fuzzy_match_blocked"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_basket_pairs_no_cartesian(spark, sf_dir):
+    plan = plan_of(REGISTRY["basket_part_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
