@@ -74,6 +74,7 @@ def _load_all() -> None:
         tpch_full,
         pipeline,
         graph,
+        maintenance,
     )
 
     _LOADED = True

@@ -1,0 +1,161 @@
+"""Table-maintenance operators: snapshot reconciliation (diff by row
+hash) and CDC merge/upsert. The ops a pipeline runs when migrating
+between engines or maintaining a mutable serving copy of an
+append-only log — [EXT] scope (reference's only sink is an append-only
+text emit, mr_tasks.h:109-121).
+
+Both build their "second version" deterministically from the base
+table (modular-arithmetic picks), so Spark and DuckDB can be checked
+against each other without fixture files.
+
+Scale notes: the diff is one full-outer join partitioned on the key —
+row hashes collapse wide rows to one comparison column BEFORE the
+shuffle, so the exchange carries (key, 32-byte hash), not whole rows.
+The merge is the same join shape; at 100 TB both would run against
+bucketed/sorted base files so only the CDC side shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducecore_spark.catalog import load_tables
+from mapreducecore_spark.queries import register
+
+# Simulated next snapshot of `orders`:
+#   - every 1000th key deleted,
+#   - every 997th key's totalprice bumped by 1.00,
+#   - a new key (base key + 1e9) inserted for every 999th row.
+_V2_SPARK = """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 997 = 0
+                THEN CAST(o_totalprice + 1.00 AS DOUBLE) ELSE o_totalprice END
+             AS o_totalprice
+    FROM {src} WHERE o_orderkey % 1000 <> 0
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+    FROM {src} WHERE o_orderkey % 999 = 0
+"""
+
+
+def _v2(spark: SparkSession, t) -> DataFrame:
+    t["orders"].createOrReplaceTempView("_maint_orders")
+    return spark.sql(_V2_SPARK.format(src="_maint_orders"))
+
+
+_ROWHASH = "md5(concat_ws('|', o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))))"
+
+
+@register(
+    "table_diff_rowhash",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), v2 AS ({_V2_SPARK.format(src="orders")}),
+    h1 AS (SELECT o_orderkey, {_ROWHASH} AS h FROM v1),
+    h2 AS (SELECT o_orderkey, {_ROWHASH} AS h FROM v2),
+    d AS (
+      SELECT COALESCE(h1.o_orderkey, h2.o_orderkey) AS k,
+             CASE WHEN h2.o_orderkey IS NULL THEN 'deleted'
+                  WHEN h1.o_orderkey IS NULL THEN 'added'
+                  WHEN h1.h <> h2.h THEN 'changed'
+                  ELSE 'same' END AS action
+      FROM h1 FULL OUTER JOIN h2 ON h1.o_orderkey = h2.o_orderkey
+    )
+    SELECT action, COUNT(*) AS n FROM d WHERE action <> 'same' GROUP BY action
+    """,
+)
+def table_diff_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: added/deleted/changed counts between two
+    table versions. Rows collapse to (key, md5 row hash) before the
+    full-outer join, so the shuffle carries 40-byte rows regardless of
+    table width — the migration-audit idiom at any scale."""
+    t = load_tables(spark, sf_dir)
+    v1 = t["orders"].selectExpr("o_orderkey", f"{_ROWHASH} AS h")
+    v2 = _v2(spark, t).selectExpr("o_orderkey", f"{_ROWHASH} AS h2")
+    joined = v1.withColumnRenamed("o_orderkey", "k1").join(
+        v2.withColumnRenamed("o_orderkey", "k2"),
+        F.col("k1") == F.col("k2"),
+        "full_outer",
+    )
+    action = (
+        F.when(F.col("k2").isNull(), "deleted")
+        .when(F.col("k1").isNull(), "added")
+        .when(F.col("h") != F.col("h2"), "changed")
+        .otherwise("same")
+    )
+    return (
+        joined.select(action.alias("action"))
+        .filter("action <> 'same'")
+        .groupBy("action")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "table_merge_upsert",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), cdc AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 1000 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_orderstatus,
+             CAST(o_totalprice + 1.00 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 'I', o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 999 = 0
+    ), merged AS (
+      SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+             COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice
+      FROM base b FULL OUTER JOIN cdc c ON b.o_orderkey = c.o_orderkey
+      WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics on plain parquet tables: apply a CDC batch of
+    inserts/updates/deletes to a base snapshot in one full-outer join
+    (matched+D -> drop, matched+U -> take source, unmatched source ->
+    insert). Output is the merged table's per-status count and exact
+    decimal total — a compact witness that every row landed. The same
+    plan is what Delta/Iceberg MERGE lowers to; here it's explicit."""
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = (
+        base.filter("o_orderkey % 7 = 0")
+        .selectExpr(
+            "o_orderkey",
+            "CASE WHEN o_orderkey % 1000 = 0 THEN 'D' ELSE 'U' END AS op",
+            "o_orderstatus",
+            "CAST(o_totalprice + 1.00 AS DOUBLE) AS o_totalprice",
+        )
+    )
+    ins = base.filter("o_orderkey % 999 = 0").selectExpr(
+        "o_orderkey + 1000000000 AS o_orderkey",
+        "'I' AS op",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    cdc = upd.unionByName(ins)
+    b = base.toDF("bk", "bs", "bp")
+    c = cdc.toDF("ck", "op", "cs", "cp")
+    merged = (
+        b.join(c, F.col("bk") == F.col("ck"), "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("cs", "bs").alias("o_orderstatus"),
+            F.coalesce("cp", "bp").alias("o_totalprice"),
+        )
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
