@@ -274,8 +274,6 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global cross join), then a global top-100 with a tie-proof order.
     The order-key self-join is co-partitioned: one shuffle feeds both
     sides."""
-    from pyspark.sql import Window
-
     t = load_tables(spark, sf_dir)
     items = materialize(
         t["lineitem"].select("l_orderkey", "l_partkey").distinct()
@@ -288,10 +286,12 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
     )
-    w = Window.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+    # Global top-100 via orderBy+limit -> TakeOrderedAndProject: each
+    # partition keeps its local top-100, the driver merges heaps. A
+    # global row_number window would funnel every pair through ONE task.
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter("rn <= 100")
+        pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(100)
         .select("part_a", "part_b", "n_orders")
     )
 
@@ -663,8 +663,6 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     order). Two aggregates: bigram counts from the explosion, then
     first-word totals over the (vocabulary²-sized, i.e. small) count
     table — the corpus is touched once."""
-    from pyspark.sql import Window
-
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
     big = (
@@ -679,10 +677,10 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = c2.join(
         F.broadcast(c1), F.split(c2["bigram"], " ").getItem(0) == c1["w1"]
     )
-    w = Window.orderBy(F.col("n").desc(), "bigram")
+    # Distributed top-k (TakeOrderedAndProject), not a global window.
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter("rn <= 100")
+        joined.orderBy(F.col("n").desc(), "bigram")
+        .limit(100)
         .select(
             "bigram",
             "n",

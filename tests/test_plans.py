@@ -221,3 +221,12 @@ def test_fuzzy_match_joins_on_block_key(spark, sf_dir):
 def test_basket_pairs_no_cartesian(spark, sf_dir):
     plan = plan_of(REGISTRY["basket_part_pairs"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["basket_part_pairs", "bigram_lm_counts"])
+def test_global_topk_is_take_ordered(spark, sf_dir, name):
+    # Global top-N must compile to TakeOrderedAndProject (per-partition
+    # heaps merged at the driver), never a single-task global window.
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "RunningWindowFunction" not in plan
