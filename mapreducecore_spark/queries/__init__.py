@@ -75,6 +75,7 @@ def _load_all() -> None:
         pipeline,
         graph,
         maintenance,
+        quality,
     )
 
     _LOADED = True
