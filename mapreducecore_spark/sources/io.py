@@ -80,3 +80,31 @@ def sorted_partitioned_text_sink(
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def write_parquet_observed(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> dict:
+    """Write with sink metrics via the Observation API: row count and
+    null-key count ride along the write itself — no second scan of the
+    input to audit what landed. At 100 TB a post-write count() would
+    re-read the whole output; observe() folds the metrics into the
+    write job for free. Returns {"n_rows": ..., "n_null_first_col": ...}.
+    """
+    from pyspark.sql import Observation
+
+    first = df.columns[0]
+    obs = Observation("sink_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col(first).isNull(), 1).otherwise(0)).alias(
+            "n_null_first_col"
+        ),
+    )
+    observed.write.mode(mode).parquet(path)
+    got = obs.get
+    return {
+        "n_rows": got["n_rows"],
+        "n_null_first_col": got["n_null_first_col"] or 0,
+    }

@@ -126,3 +126,15 @@ def test_sorted_partitioned_text_sink(spark, sf_dir, tmp_path):
         assert keys == sorted(keys), f"{f} not key-sorted"
     expect = {str(r["k"]): r["v"] for r in docs.collect()}
     assert seen == expect
+
+
+def test_write_parquet_observed_metrics_ride_the_write(spark, tmp_path):
+    from mapreducecore_spark.sources.io import write_parquet_observed
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "k INT, v STRING"
+    )
+    out = str(tmp_path / "obs")
+    m = write_parquet_observed(df, out)
+    assert m == {"n_rows": 3, "n_null_first_col": 1}
+    assert spark.read.parquet(out).count() == 3
