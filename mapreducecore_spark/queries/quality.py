@@ -147,3 +147,59 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.lit("orders->customer").alias("fk"), F.count("*").alias("n_orphans"))
     )
     return li_orphans.unionByName(ord_orphans)
+
+
+# ------------------------------------------------ sketch aggregates
+
+@register(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT l_returnflag AS item, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy hitters over return flags. With k and the
+    tracked-item budget above the true cardinality the sketch is exact,
+    so the DuckDB group-by oracle applies verbatim — while the plan is
+    the sketch plan (mergeable partials, no full shuffle of raw rows),
+    which is what survives when the column has a billion distinct
+    values and you only want the top 10."""
+    t = load_tables(spark, sf_dir)
+    t["lineitem"].createOrReplaceTempView("_qk_lineitem")
+    return spark.sql(
+        """
+        SELECT s.item AS item, s.count AS n FROM (
+          SELECT explode(approx_top_k(l_returnflag, 10, 1000)) AS s
+          FROM _qk_lineitem
+        )
+        """
+    )
+
+
+@register("agg_hll_sketch_merge", oracle=None, doc="rows-only: HLL estimate")
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts: per-status HLL sketches built
+    in one pass, then merged with hll_union_agg for the global
+    estimate — the pattern for distinct-count rollups across
+    partitions/days without re-reading raw data. Estimates carry
+    sketch error -> rows-only driver check; accuracy pinned vs exact
+    in tests/test_operators.py."""
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("_qk_orders")
+    per_status = spark.sql(
+        """
+        SELECT o_orderstatus, hll_sketch_agg(o_custkey, 14) AS sk
+        FROM _qk_orders GROUP BY o_orderstatus
+        """
+    )
+    per_status.createOrReplaceTempView("_qk_sketches")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS scope,
+               hll_sketch_estimate(sk) AS approx_custkeys
+        FROM _qk_sketches
+        UNION ALL
+        SELECT 'ALL', hll_sketch_estimate(hll_union_agg(sk)) FROM _qk_sketches
+        """
+    )

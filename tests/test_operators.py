@@ -210,3 +210,18 @@ def test_connected_components_matches_union_find(spark, seed):
     pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
     got = {r["node"]: r["component"] for r in connected_components(pdf).collect()}
     assert got == expect
+
+
+def test_hll_sketch_merge_accuracy(spark, sf_dir):
+    from mapreducecore_spark.queries.quality import agg_hll_sketch_merge
+
+    rows = {r["scope"]: r["approx_custkeys"]
+            for r in agg_hll_sketch_merge(spark, sf_dir).collect()}
+    exact_all = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("o_custkey").distinct().count()
+    )
+    # lgConfigK=14 -> relative error ~0.8%; allow 5%.
+    assert abs(rows["ALL"] - exact_all) / exact_all < 0.05
+    # merged estimate >= any single-status estimate
+    assert rows["ALL"] >= max(v for k, v in rows.items() if k != "ALL")
