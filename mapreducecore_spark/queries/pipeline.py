@@ -730,3 +730,74 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .applyInPandas(pack, "lang STRING, bin_id BIGINT, doc_id BIGINT, n_tokens INT")
     )
+
+
+# --------------------------------------- end-to-end corpus curation
+
+from mapreducecore_spark.queries.llm import _SW_SQL as _SW  # noqa: E402
+
+_CURATION_ORACLE = f"""
+    WITH q AS (
+      SELECT doc_id, lang, source, text,
+             ROUND(LEAST(CAST(len({_TOKS_DUCK}) AS DOUBLE) / 50.0, 1.0)
+                   * (1.0 - 0.5 * CAST(len(list_filter({_TOKS_DUCK},
+                        x -> list_contains([{_SW}], x))) AS DOUBLE)
+                     / GREATEST(len({_TOKS_DUCK}), 1)), 6) AS quality
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM q WHERE quality >= 0.3
+    ), keepers AS (
+      SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS h,
+             MIN(doc_id) AS doc_id
+      FROM filtered GROUP BY 1
+    ), kept AS (
+      SELECT f.doc_id, f.lang, f.quality FROM filtered f
+      JOIN keepers k ON k.doc_id = f.doc_id
+    )
+    SELECT doc_id, lang, quality,
+           CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT *,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM kept
+    )
+"""
+
+
+@register("corpus_curation_pipeline", oracle=_CURATION_ORACLE)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition in one plan: quality-score every doc
+    (map-side), drop low-quality, keep the lowest-id doc per normalized
+    content hash (one shuffle on the hash), assign the reproducible
+    train/val/test split (map-side) — crawl to training-ready corpus
+    with exactly ONE wide exchange. Each stage is individually
+    oracle-checked elsewhere; this pins their composition."""
+    t = load_tables(spark, sf_dir)
+    sw_arr = "array(" + _SW + ")"
+    q = spread(t["documents"]).selectExpr(
+        "doc_id",
+        "lang",
+        "text",
+        f"""ROUND(LEAST(CAST(size({_TOKS}) AS DOUBLE) / 50.0, 1.0)
+             * (1.0 - 0.5 * CAST(size(filter({_TOKS},
+                  x -> array_contains({sw_arr}, x))) AS DOUBLE)
+               / GREATEST(size({_TOKS}), 1)), 6) AS quality""",
+    )
+    filtered = materialize(
+        q.filter("quality >= 0.3").withColumn(
+            "h", F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " ")))
+        )
+    )
+    keepers = filtered.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = filtered.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    return kept.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+    )
