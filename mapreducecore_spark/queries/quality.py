@@ -203,3 +203,46 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'ALL', hll_sketch_estimate(hll_union_agg(sk)) FROM _qk_sketches
         """
     )
+
+
+@register(
+    "json_dead_letter_split",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 4) ELSE props END
+               AS payload
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_parsed,
+           CAST(SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dead_letter
+    FROM raw GROUP BY event_type
+    """,
+)
+def json_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion robustness: route malformed JSON payloads (a
+    deterministic 1/13 of rows truncated to simulate upstream
+    corruption) to a dead-letter count instead of failing the job.
+    Validity = "the expected field extracts": get_json_object returns
+    NULL on malformed input, while PERMISSIVE from_json yields a struct
+    of NULLs that cannot distinguish bad JSON from absent fields. At
+    scale the same predicate splits the stream into a clean sink and a
+    DLQ sink in one pass."""
+    t = load_tables(spark, sf_dir)
+    raw = t["events"].selectExpr(
+        "event_type",
+        "CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 4) ELSE props END"
+        " AS payload",
+    )
+    parsed = raw.withColumn(
+        "ok", F.get_json_object("payload", "$.k").isNotNull()
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_parsed"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_dead_letter"),
+    )

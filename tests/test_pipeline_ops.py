@@ -127,3 +127,73 @@ def test_pack_sequences_matches_python_reference(spark, sf_dir):
         expect[(lang, doc_id)] = (cur, n)
         state[lang] = (cur, fill + n)
     assert got == expect
+
+
+def test_zorder_interleave_properties():
+    # Pure-Python mirror of _z_expr's arithmetic: fixing one coordinate,
+    # z is strictly monotone in the other (the locality property file
+    # skipping relies on); and interleaving is a bijection on the grid.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def z(x, y, bits=10):
+        out = 0
+        for i in range(bits):
+            out += ((x >> i) & 1) << (2 * i)
+            out += ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(0, 1023), st.integers(0, 1023), st.integers(0, 1023)
+    )
+    def monotone(x1, x2, y):
+        if x1 < x2:
+            assert z(x1, y) < z(x2, y)
+            assert z(y, x1) < z(y, x2)
+
+    monotone()
+    grid = {z(x, y, 4) for x in range(16) for y in range(16)}
+    assert len(grid) == 256 and max(grid) == 255
+
+
+def test_zorder_sql_matches_python(spark):
+    from mapreducecore_spark.queries.pipeline import _z_expr
+
+    def z(x, y, bits=10):
+        out = 0
+        for i in range(bits):
+            out += ((x >> i) & 1) << (2 * i)
+            out += ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 513, 1023) for y in (0, 2, 7, 800, 1023)],
+        "x INT, y INT",
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.selectExpr(
+            "x", "y", f"CAST({_z_expr('x', 'y', 10, 'div')} AS BIGINT) AS z"
+        ).collect()
+    }
+    for (x, y), v in got.items():
+        assert v == z(x, y)
+
+
+def test_curation_pipeline_invariants(spark, sf_dir):
+    from mapreducecore_spark.queries.pipeline import corpus_curation_pipeline
+
+    out = corpus_curation_pipeline(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    # Every surviving doc passes the quality bar and has a split.
+    assert all(r["quality"] >= 0.3 for r in rows)
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # Dedup keeper: no two surviving docs share normalized content.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept_ids = [r["doc_id"] for r in rows]
+    norm = docs.filter(docs.doc_id.isin(kept_ids)).selectExpr(
+        "md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' '))) AS h"
+    )
+    assert norm.count() == norm.distinct().count()
