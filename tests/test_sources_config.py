@@ -138,3 +138,26 @@ def test_write_parquet_observed_metrics_ride_the_write(spark, tmp_path):
     m = write_parquet_observed(df, out)
     assert m == {"n_rows": 3, "n_null_first_col": 1}
     assert spark.read.parquet(out).count() == 3
+
+
+def test_cli_job_runs_reference_config(spark, tmp_path, capsys):
+    """python -m mapreducecore_spark <config>: the reference demo's
+    entry shape (test/main.cc) — INI spec in, key-sorted partition
+    files out."""
+    from mapreducecore_spark.__main__ import run_cli_job
+
+    inp = sorted(glob.glob("/root/reference/test/input/testdata_*.txt"))[:2]
+    cfg = tmp_path / "config.ini"
+    out = tmp_path / "cli_output"
+    cfg.write_text(REF_CONFIG_FORMAT.format(inp1=inp[0], inp2=inp[1], out=out))
+    assert run_cli_job(spark, str(cfg)) == 0
+    assert "wrote" in capsys.readouterr().out
+    files = sorted(p for p in out.iterdir() if p.name.startswith("part-"))
+    assert len(files) == 8
+    # Each partition file is key-sorted "key value" lines.
+    total = 0
+    for p in files:
+        keys = [ln.split(" ")[0] for ln in p.read_text().splitlines()]
+        assert keys == sorted(keys)
+        total += len(keys)
+    assert total > 0
