@@ -638,3 +638,87 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         )
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER clause on aggregates — several conditional aggregates
+    in ONE pass/shuffle instead of N filtered subqueries."""
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("_fc_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+        FROM _fc_orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+    WHERE c.c_custkey < 200
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's single most
+    expensive order. Catalyst decorrelates this to the same
+    window-rank plan as topk_per_group — the surface matters for SQL
+    users migrating correlated queries verbatim."""
+    t = load_tables(spark, sf_dir)
+    t["customer"].createOrReplaceTempView("_lt_customer")
+    t["orders"].createOrReplaceTempView("_lt_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM _lt_customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM _lt_orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        WHERE c.c_custkey < 200
+        """
+    )
+
+
+@register(
+    "join_hint_broadcast_sql",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_hint_broadcast_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-level BROADCAST hint — the escape hatch when statistics
+    mislead the planner (e.g. a filtered dimension whose post-filter
+    size the optimizer overestimates). Plan gate asserts the hint is
+    honored."""
+    t = load_tables(spark, sf_dir)
+    t["customer"].createOrReplaceTempView("_bh_customer")
+    t["nation"].createOrReplaceTempView("_bh_nation")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */ n.n_name, COUNT(*) AS n_customers
+        FROM _bh_customer c JOIN _bh_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

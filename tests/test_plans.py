@@ -230,3 +230,8 @@ def test_global_topk_is_take_ordered(spark, sf_dir, name):
     plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "RunningWindowFunction" not in plan
+
+
+def test_sql_broadcast_hint_is_honored(spark, sf_dir):
+    plan = plan_of(REGISTRY["join_hint_broadcast_sql"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
