@@ -722,3 +722,49 @@ def join_hint_broadcast_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@register(
+    "incremental_daily_rollup",
+    oracle="""
+    WITH partials AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v,
+             MIN(value) AS min_v, MAX(value) AS max_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(sum_v) AS DOUBLE) AS sum_v,
+           MIN(min_v) AS min_v, MAX(max_v) AS max_v
+    FROM partials GROUP BY event_type
+    """,
+)
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation: per-day partial aggregates (what a
+    pipeline persists per ingest partition) merged into the global
+    rollup WITHOUT rescanning history — count/sum/min/max are all
+    re-aggregatable, so day N's update touches one day of raw data
+    plus the small partials table. The two-level plan here proves the
+    merge is exact (oracle computes the same two-level rollup)."""
+    t = load_tables(spark, sf_dir)
+    partials = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("decimal(38,2)").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_v").cast("double").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
