@@ -59,7 +59,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     norm = F.trim(F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " "))
     return (
-        t["documents"]
+        spread(t["documents"])
         .groupBy(F.md5(norm).alias("norm_hash"))
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
     )
@@ -474,7 +474,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"].selectExpr(
+    e = spread(t["embeddings"]).selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
     )
     q = e.filter(F.col("vec_id") < 8).selectExpr("vec_id AS q_id", "emb AS q_emb")
@@ -525,7 +525,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"].selectExpr(
+    e = spread(t["embeddings"]).selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
     )
     be = add_lsh_codes(e)
@@ -538,7 +538,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qe = e.selectExpr("vec_id AS q_id", "emb AS q_emb")
+    qe = e.filter(F.col("vec_id") < 8).selectExpr("vec_id AS q_id", "emb AS q_emb")
     ne = e.selectExpr("vec_id AS neighbor_id", "emb AS n_emb")
     cos = _COS_SPARK.format(a="q_emb", b="n_emb")
     sims = (
@@ -578,7 +578,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over multi-table sign-LSH
     candidates (true near-dups collide in some table w.h.p.)."""
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"].selectExpr(
+    e = spread(t["embeddings"]).selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
     )
     be = materialize(add_lsh_codes(e))
@@ -650,7 +650,7 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"].selectExpr(
+    e = spread(t["embeddings"]).selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
     )
     cents = e.filter(F.col("vec_id") < 16).selectExpr("vec_id AS c_id", "emb AS c_emb")
@@ -670,7 +670,7 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qe = e.selectExpr("vec_id AS q_id", "emb AS q_emb")
+    qe = e.filter(F.col("vec_id") < 8).selectExpr("vec_id AS q_id", "emb AS q_emb")
     ne = e.selectExpr("vec_id AS neighbor_id", "emb AS n_emb")
     cos = _COS_SPARK.format(a="q_emb", b="n_emb")
     sims = (

@@ -235,7 +235,7 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_labels x 64 rows before the exchange."""
     t = load_tables(spark, sf_dir)
     return (
-        t["embeddings"]
+        spread(t["embeddings"])
         .select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
         .agg(
@@ -465,7 +465,7 @@ def kmeans_assign_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"].selectExpr(
+    e = spread(t["embeddings"]).selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
     )
     c = e.filter(F.col("vec_id") < 8).selectExpr(
