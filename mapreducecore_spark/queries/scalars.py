@@ -575,3 +575,148 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_total"),
         )
     )
+
+
+@register(
+    "scalar_array_funcs3",
+    oracle="""
+    WITH a AS (
+      SELECT p_partkey,
+             string_split(p_name, ' ') AS words,
+             [p_partkey % 7, p_partkey % 5, p_partkey % 7] AS nums
+      FROM part WHERE p_partkey < 400
+    )
+    SELECT p_partkey,
+           flatten([words, ['x']]) AS flat,
+           list_filter(nums, e -> e <> p_partkey % 7) AS removed,
+           list_sort(list_distinct(list_concat(nums, [1, 2]))) AS unioned,
+           list_sort(list_filter(list_distinct(nums),
+                                 e -> NOT list_contains([1, 2], e))) AS excepted,
+           list_sort(list_filter(list_distinct(nums),
+                                 e -> list_contains([1, 2], e))) AS intersected
+    FROM a
+    """,
+)
+def scalar_array_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array batch 3: flatten, array_remove, and the sorted forms of
+    array_union/except/intersect (sorted because the engines'
+    first-seen orders differ; set semantics are the portable part)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter("p_partkey < 400")
+        .selectExpr(
+            "p_partkey",
+            "split(p_name, ' ') AS words",
+            "array(p_partkey % 7, p_partkey % 5, p_partkey % 7) AS nums",
+        )
+        .selectExpr(
+            "p_partkey",
+            "flatten(array(words, array('x'))) AS flat",
+            "array_remove(nums, p_partkey % 7) AS removed",
+            "array_sort(array_union(nums, array(1, 2))) AS unioned",
+            "array_sort(array_except(nums, array(1, 2))) AS excepted",
+            "array_sort(array_intersect(nums, array(1, 2))) AS intersected",
+        )
+    )
+
+
+@register(
+    "scalar_binary_funcs",
+    oracle="""
+    SELECT p_partkey,
+           hex(encode(p_brand)) AS brand_hex,
+           decode(unhex(hex(encode(p_brand)))) AS roundtrip,
+           to_base64(encode(p_name)) AS name_b64,
+           bin(p_partkey) AS key_bits,
+           octet_length(encode(p_name)) AS n_bytes
+    FROM part WHERE p_partkey < 400
+    """,
+)
+def scalar_binary_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary batch: hex/unhex round-trip, base64, bit string, byte
+    length — the cheap end of binary-payload handling (the expensive
+    end is the multimodal mapInPandas path)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter("p_partkey < 400")
+        .selectExpr(
+            "p_partkey",
+            "hex(encode(p_brand, 'UTF-8')) AS brand_hex",
+            "decode(unhex(hex(encode(p_brand, 'UTF-8'))), 'UTF-8') AS roundtrip",
+            "base64(encode(p_name, 'UTF-8')) AS name_b64",
+            "bin(p_partkey) AS key_bits",
+            "octet_length(encode(p_name, 'UTF-8')) AS n_bytes",
+        )
+    )
+
+
+@register(
+    "scalar_date_funcs3",
+    oracle="""
+    SELECT o_orderkey,
+           dayofyear(o_orderdate) AS doy,
+           CAST(date_part('month', o_orderdate) AS INT) AS mth,
+           strftime(make_date(2024, CAST(o_orderkey % 12 + 1 AS INT), 15),
+                    '%Y-%m-%d') AS mid_month,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS INT)
+             AS epoch_days,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+           strftime(to_timestamp(86400 * 10000), '%Y-%m-%d %H:%M:%S') AS from_unix
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def scalar_date_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date batch 3: day-of-year, date_part, make_date, trunc-to-month,
+    days/seconds since epoch, epoch -> timestamp."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter("o_orderkey < 300")
+        .selectExpr(
+            "o_orderkey",
+            "dayofyear(o_orderdate) AS doy",
+            "CAST(date_part('month', o_orderdate) AS INT) AS mth",
+            "date_format(make_date(2024, CAST(o_orderkey % 12 + 1 AS INT), 15),"
+            " 'yyyy-MM-dd') AS mid_month",
+            "date_format(trunc(o_orderdate, 'MM'), 'yyyy-MM-dd') AS month_start",
+            "CAST(unix_date(CAST(o_orderdate AS DATE)) AS INT) AS epoch_days",
+            "to_unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS epoch_s",
+            "date_format(to_timestamp(86400 * 10000), 'yyyy-MM-dd HH:mm:ss')"
+            " AS from_unix",
+        )
+    )
+
+
+@register(
+    "scalar_math_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(exp(p_size / 25.0), 9) AS e_x,
+           ROUND(log2(p_size + 1.0), 9) AS lg2,
+           ROUND(cbrt(CAST(p_size AS DOUBLE)), 9) AS cbrt_v,
+           CAST(sign(p_size - 25) AS DOUBLE) AS sgn,
+           CASE WHEN p_partkey % 10 = 0 THEN NULL
+                ELSE ROUND(p_retailprice / (p_partkey % 10), 6) END AS safe_div
+    FROM part WHERE p_partkey < 400
+    """,
+)
+def scalar_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math batch 2: exp/log2/cbrt/sign and try_divide (NULL on zero
+    divisor — the oracle spells the CASE out since DuckDB has no try_
+    family)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter("p_partkey < 400")
+        .selectExpr(
+            "p_partkey",
+            "ROUND(exp(p_size / 25.0), 9) AS e_x",
+            "ROUND(log2(p_size + 1.0), 9) AS lg2",
+            "ROUND(cbrt(CAST(p_size AS DOUBLE)), 9) AS cbrt_v",
+            "CAST(signum(p_size - 25) AS DOUBLE) AS sgn",
+            "ROUND(try_divide(p_retailprice, p_partkey % 10), 6) AS safe_div",
+        )
+    )
