@@ -76,6 +76,7 @@ def _load_all() -> None:
         graph,
         maintenance,
         quality,
+        streaming_live,
     )
 
     _LOADED = True

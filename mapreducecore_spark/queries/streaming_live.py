@@ -1,0 +1,111 @@
+"""LIVE Structured Streaming registry entries — unlike the batch twins
+in queries/streaming_batch.py, these actually run a streaming query
+(file source over the sf_dir events parquet, availableNow drain into a
+memory sink) and return the drained result. The DuckDB oracle is plain
+batch SQL over the same parquet: Spark's guarantee that a drained
+stream equals the batch computation is exactly what gets checked.
+
+Scale notes: availableNow processes the backlog in bounded micro-
+batches then stops — the backfill pattern for catching a stream up
+without unbounded-trigger risk. The memory sink is test plumbing; a
+real deployment writes parquet/Kafka via the same writeStream.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducecore_spark.catalog import tune_session
+from mapreducecore_spark.queries import register
+
+_EVENTS_NANOS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the driver's events table. ts is
+    TIMESTAMP(NANOS) in the parquet — surfaced as long nanos (the
+    session sets nanosAsLong) and converted with the same exact
+    ns-div-1000 as catalog._fix_event_ts."""
+    tune_session(spark)
+    # The table is a single file and the file source wants a directory:
+    # stream the sf_dir with a glob pinned to the events file.
+    raw = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(out: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run the streaming frame to completion (availableNow) into a
+    memory sink; return the sink contents as a batch DataFrame."""
+    name = f"live_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "stream_live_tumbling_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_live_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real streaming query: 1-hour tumbling window counts per event
+    type, drained with availableNow. The oracle is the equivalent batch
+    GROUP BY — stream-equals-batch is the property under test."""
+    ev = _event_stream(spark, sf_dir)
+    out = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return _drain(out, spark)
+
+
+@register(
+    "stream_live_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_live_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals maintained in streaming state across the
+    micro-batches of the backlog drain (complete mode emits the final
+    accumulator table)."""
+    ev = _event_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+    return _drain(out, spark)

@@ -31,6 +31,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # 10k-row Arrow batches keep pandas-UDF memory bounded at wide rows.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Stateful STREAMING can't use AQE partition coalescing, so an
+    # externally-built session's 200-partition default becomes 200 real
+    # state-store tasks per micro-batch; pin a width that matches the
+    # test scale. (Batch queries are unaffected in practice — AQE
+    # coalesces either way. At cluster scale raise via get_spark.)
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
