@@ -36,12 +36,27 @@ BROADCAST_DIMS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (appId, sf_dir) -> table dict. DataFrames are lazy plans — caching
+# them skips 10 parquet-footer/analysis round-trips per query call
+# (every registry query starts with load_tables), which adds up across
+# a 170-query bench run. Keyed by applicationId so a restarted session
+# never sees another JVM's plans.
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str | None = None, register: bool = True
 ) -> dict[str, DataFrame]:
     """Load every table in `sf_dir`; optionally register temp views."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     tune_session(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        if register:
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+        return dict(cached)
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -51,6 +66,7 @@ def load_tables(
         out[name] = df
         if register:
             df.createOrReplaceTempView(name)
+    _TABLE_CACHE[key] = dict(out)
     return out
 
 

@@ -161,3 +161,14 @@ def test_cli_job_runs_reference_config(spark, tmp_path, capsys):
         assert keys == sorted(keys)
         total += len(keys)
     assert total > 0
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """S7 extension: ORC write/read round-trip preserves rows and schema
+    (the other columnar format Spark ships a native source for)."""
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
