@@ -768,3 +768,66 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
+
+
+@register(
+    "events_weekly_cohort_retention",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(w) AS cohort_week FROM weekly GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_week
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('week', c.cohort_week, a.w) AS INT) AS weeks_since,
+           COUNT(*) AS n_active,
+           ROUND(COUNT(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM cohort c
+    JOIN weekly a USING (user_id)
+    JOIN sizes s ON s.cohort_week = c.cohort_week
+    GROUP BY c.cohort_week, date_diff('week', c.cohort_week, a.w), s.cohort_size
+    """,
+)
+def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-active
+    week, tracked across subsequent weeks. The (user, week) dedup is
+    the only shuffle scaling with raw events; cohorts and sizes are
+    derived from that small distinct set and the final join is
+    broadcast-sized per cohort week."""
+    t = load_tables(spark, sf_dir)
+    weekly = (
+        t["events"]
+        .select("user_id", F.date_trunc("week", "ts").cast("date").alias("w"))
+        .distinct()
+    )
+    from mapreducecore_spark.queries._util import materialize
+
+    weekly = materialize(weekly)
+    cohort = weekly.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    joined = (
+        cohort.join(weekly, "user_id")
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("weeks_since"),
+            "cohort_size",
+        )
+    )
+    return (
+        joined.groupBy("cohort_week", "weeks_since", "cohort_size")
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "weeks_since",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size").cast("double"), 6).alias(
+                "retention"
+            ),
+        )
+    )

@@ -801,3 +801,42 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
     )
+
+
+# ------------------------------------------ int8 vector quantization
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           ROUND(maxabs / 127, 9) AS scale,
+           list_transform(emb, x -> CAST(trunc(x * 127 / maxabs) AS INT)) AS qvec
+    FROM m
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (max-abs scaling) — the
+    4x storage/bandwidth compression step before ANN at 100 TB. Pure
+    per-row array math, no shuffle; truncation toward zero on both
+    engines (Spark's int CAST truncates, DuckDB's rounds — the oracle
+    spells trunc() out) so both land on identical integers. Dequantize =
+    qvec * scale."""
+    t = load_tables(spark, sf_dir)
+    return spread(t["embeddings"]).selectExpr(
+        "vec_id",
+        "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs",
+    ).selectExpr(
+        "vec_id",
+        "label",
+        "ROUND(maxabs / 127, 9) AS scale",
+        "transform(emb, x -> CAST(x * 127 / maxabs AS INT)) AS qvec",
+    )
