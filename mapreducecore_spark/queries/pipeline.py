@@ -840,3 +840,72 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(maxabs / 127, 9) AS scale",
         "transform(emb, x -> CAST(x * 127 / maxabs AS INT)) AS qvec",
     )
+
+
+_DEQ_COS_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    " / (sqrt(aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    " * sqrt(aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))"
+)
+
+
+@register(
+    "ann_cosine_quantized",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), q8 AS (
+      SELECT vec_id,
+             list_transform(emb,
+               x -> CAST(trunc(x * 127 / maxabs) AS INT) * (maxabs / 127)) AS deq
+      FROM m
+    ), qs AS (SELECT vec_id AS q_id, deq AS q_deq FROM q8 WHERE vec_id < 8),
+    sims AS (
+      SELECT qs.q_id, q8.vec_id AS neighbor_id,
+             ROUND(list_inner_product(qs.q_deq, q8.deq)
+                   / (sqrt(list_inner_product(qs.q_deq, qs.q_deq))
+                      * sqrt(list_inner_product(q8.deq, q8.deq))), 6) AS sim
+      FROM qs CROSS JOIN q8 WHERE q8.vec_id <> qs.q_id
+    )
+    SELECT q_id, neighbor_id, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+)
+def ann_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (dequantized on the
+    fly): the accuracy/bandwidth trade a 100 TB ANN index makes — 4x
+    less data shuffled/broadcast for ~identical neighbors (recall vs
+    the exact baseline pinned in tests). Same broadcast cross-join
+    shape as ann_cosine_topk."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    q8 = spread(t["embeddings"]).selectExpr(
+        "vec_id",
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
+    ).selectExpr(
+        "vec_id",
+        "transform(emb, x -> CAST(CAST(x * 127 / maxabs AS INT) AS DOUBLE)"
+        " * (maxabs / 127)) AS deq",
+    )
+    q = q8.filter(F.col("vec_id") < 8).selectExpr("vec_id AS q_id", "deq AS q_deq")
+    cos = _DEQ_COS_SPARK.format(a="q_deq", b="deq")
+    sims = (
+        q8.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .selectExpr("q_id", "vec_id AS neighbor_id", f"ROUND({cos}, 6) AS sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .select("q_id", "neighbor_id", "sim")
+    )

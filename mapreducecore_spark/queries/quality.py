@@ -246,3 +246,51 @@ def json_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dead_letter"),
     )
+
+
+@register(
+    "dq_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.5), 4) AS med_v
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type,
+             ROUND(quantile_cont(abs(e.value - m.med_v), 0.5), 4) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(abs(e.value - m.med_v) / d.mad, 4) AS mad_score
+    FROM events e
+    JOIN med m USING (event_type) JOIN dev d USING (event_type)
+    WHERE abs(e.value - m.med_v) / d.mad > 3.5
+    """,
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers by median absolute deviation (immune to the
+    outliers themselves, unlike z-scores). Two percentile aggregates
+    sharing the event_type partitioning, then a map-side score against
+    the broadcast (median, MAD) table — raw events never shuffle."""
+    t = load_tables(spark, sf_dir)
+    med = t["events"].groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med_v")
+    )
+    dev = (
+        t["events"]
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(value - med_v), 0.5)"), 4
+            ).alias("mad")
+        )
+    )
+    score = F.round(F.abs(F.col("value") - F.col("med_v")) / F.col("mad"), 4)
+    return (
+        t["events"]
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(dev), "event_type")
+        .select("event_id", "event_type", "value", score.alias("mad_score"))
+        .filter(F.abs(F.col("value") - F.col("med_v")) / F.col("mad") > 3.5)
+    )

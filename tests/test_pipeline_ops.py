@@ -197,3 +197,20 @@ def test_curation_pipeline_invariants(spark, sf_dir):
         "md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' '))) AS h"
     )
     assert norm.count() == norm.distinct().count()
+
+
+def test_quantized_ann_recall_vs_exact(spark, sf_dir):
+    from mapreducecore_spark.queries.llm import ann_cosine_topk
+    from mapreducecore_spark.queries.pipeline import ann_cosine_quantized
+
+    exact = {
+        (r["q_id"], r["neighbor_id"]) for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    quant = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ann_cosine_quantized(spark, sf_dir).collect()
+    }
+    # int8 with per-vector max-abs scaling keeps ~7 significant bits:
+    # top-5 neighbor sets should overlap strongly.
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantized recall {recall:.2f}"
