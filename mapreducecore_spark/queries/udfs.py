@@ -186,3 +186,70 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             double_plus_one, "l_orderkey BIGINT, l_linenumber INT, derived DOUBLE"
         )
     )
+
+
+@register(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT p_partkey, upper(p_brand) || '/' || CAST(p_size AS VARCHAR) AS tag
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4's useArrow=True): same
+    row-at-a-time authoring model as udf_row_strmap but Arrow-batched
+    transfer instead of pickle — the drop-in upgrade for legacy row
+    UDFs that can't be vectorized."""
+    t = load_tables(spark, sf_dir)
+
+    @F.udf(StringType(), useArrow=True)
+    def tag(brand: str, size: int) -> str:
+        return f"{brand.upper()}/{size}"
+
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") < 500)
+        .select("p_partkey", tag("p_brand", "p_size").alias("tag"))
+    )
+
+
+@register(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS line_sum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over raw Arrow tables (applyInArrow): zero-copy
+    access to the group's columnar batch — the path for groups too
+    wide/large for a pandas conversion. Integer-only output keeps the
+    comparison exact."""
+    import pyarrow as pa
+
+    t = load_tables(spark, sf_dir)
+
+    def summarize(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "n_rows": [table.num_rows],
+                "line_sum": [
+                    pc.sum(pc.cast(table.column("l_linenumber"), pa.int64())).as_py()
+                ],
+            }
+        )
+
+    return (
+        t["lineitem"]
+        .select("l_returnflag", "l_linenumber")
+        .repartition(8, "l_returnflag")
+        .groupBy("l_returnflag")
+        .applyInArrow(
+            summarize, "l_returnflag STRING, n_rows BIGINT, line_sum BIGINT"
+        )
+    )
