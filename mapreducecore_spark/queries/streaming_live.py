@@ -109,3 +109,25 @@ def stream_live_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _drain(out, spark)
+
+
+@register(
+    "stream_live_dedup_totals",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_id, event_type FROM events)
+    SELECT event_type, COUNT(*) AS n_unique FROM d GROUP BY event_type
+    """,
+)
+def stream_live_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates keyed on event_id, drained with
+    availableNow — the exactly-once ingest pattern (dedup state spans
+    micro-batches; with a watermark the state is bounded in
+    production). Oracle is the batch DISTINCT."""
+    ev = _event_stream(spark, sf_dir)
+    out = (
+        ev.select("event_id", "event_type")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return _drain(out, spark)
