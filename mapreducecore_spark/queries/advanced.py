@@ -831,3 +831,34 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus,
+           max_by(o_orderpriority,
+                  printf('%019d|%s', n, o_orderpriority)) AS mode_priority,
+           MAX(n) AS mode_count
+    FROM c GROUP BY o_orderstatus
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value; ties broken by the
+    value's own ordering — built-in mode() picks arbitrarily on ties,
+    which would never survive a cross-engine hash check). Two-level
+    aggregate: counts shuffle once on the composite key, the argmax
+    runs on the tiny count table."""
+    t = load_tables(spark, sf_dir)
+    c = t["orders"].groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    key = F.format_string("%019d|%s", F.col("n"), F.col("o_orderpriority"))
+    return c.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderpriority", key).alias("mode_priority"),
+        F.max("n").alias("mode_count"),
+    )
