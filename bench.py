@@ -100,17 +100,25 @@ def main() -> None:
 
     headline_total = sum(timings[n] for n in HEADLINE if timings.get(n, -1) >= 0)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_12q_total_sec",
-                "value": round(headline_total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_12q_total_sec",
+        "value": round(headline_total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "total_all_queries_sec": round(sum(t for t in timings.values() if t >= 0), 3),
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+    }
+    # Full per-query map goes to a file; stdout gets a COMPACT line only
+    # (headline breakdown, ~0.5 KB) so the driver's bounded tail capture
+    # always parses it (round-1 record was lost to a 6 KB line).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    compact = dict(full)
+    compact["queries"] = {n: timings[n] for n in HEADLINE if n in timings}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

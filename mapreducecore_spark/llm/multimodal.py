@@ -3,27 +3,137 @@
 Images/audio/video ride as `binary` columns with a metadata struct;
 decode / feature-extraction runs as Arrow-batched `mapInPandas` so each
 task streams record batches instead of materializing the partition.
-The actual codecs (PIL/librosa/av) are NOT in this container, so the
-decode seam raises NotImplementedError and the deterministic fake path
-is what tests and the oracle exercise — the Spark-side plumbing
-(schema, batch shape, partitioning) is real either way.
+
+Real, dependency-free codecs are implemented for the two uncompressed
+container formats whose specs are pure byte layout — PPM (P6) images
+and RIFF/WAVE PCM audio. Compressed codecs (PNG/JPEG/MP3/H.264) would
+need PIL/librosa/av, absent in this container, so `decode_image`
+dispatches: PPM/WAV parse for real, anything else raises
+NotImplementedError at the clearly-marked seam. The Spark-side plumbing
+(schema, batch shape, partitioning) is identical either way.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
 DECODE_SCHEMA = "doc_id BIGINT, n_bytes BIGINT, fake_feature BIGINT, first_byte BIGINT"
 
 
-def decode_image(payload: bytes) -> dict:
-    """Real image decode — requires PIL, absent here by design."""
+# ------------------------------------------------------- real codecs
+# PPM (P6): "P6\n<width> <height>\n<maxval>\n" + raw RGB bytes.
+# WAV: RIFF container, "fmt " chunk (PCM layout) + "data" chunk.
+# Both are fully specified byte layouts — parse with struct/numpy only.
+
+
+def encode_ppm(width: int, height: int, rgb: bytes, maxval: int = 255) -> bytes:
+    """Serialize raw RGB bytes into a binary PPM (P6) payload."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"need {3 * width * height} RGB bytes, got {len(rgb)}")
+    return b"P6\n%d %d\n%d\n" % (width, height, maxval) + rgb
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a PPM (P6) image: header tokens (whitespace-separated,
+    '#' comments allowed per spec) then raw RGB pixel data."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # Tokenize the header: magic, width, height, maxval; a single
+    # whitespace byte after maxval separates header from pixel data.
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end-of-line
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    width, height, maxval = tokens
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=3 * width * height, offset=i)
+    return {
+        "kind": "image/ppm",
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "mean_pixel": float(pixels.mean()) if pixels.size else 0.0,
+    }
+
+
+def encode_wav(sample_rate: int, samples: "np.ndarray", channels: int = 1) -> bytes:
+    """Serialize int16 PCM samples into a RIFF/WAVE payload."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    data_hdr = struct.pack("<4sI", b"data", len(data))
+    riff_size = 4 + len(fmt) + len(data_hdr) + len(data)
+    return struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE") + fmt + data_hdr + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE payload: walk chunks, read the PCM 'fmt ' and
+    'data' chunks, compute duration + mean amplitude from the samples."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    sample_rate = channels = bits = None
+    data = b""
+    while i + 8 <= n:
+        cid, size = struct.unpack_from("<4sI", payload, i)
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            _fmt_tag, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None:
+        raise ValueError("missing fmt chunk")
+    samples = np.frombuffer(data, dtype="<i2") if bits == 16 else np.frombuffer(data, dtype=np.uint8)
+    n_samples = samples.size // max(channels, 1)
+    return {
+        "kind": "audio/wav",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_samples": n_samples,
+        "duration_sec": n_samples / sample_rate if sample_rate else 0.0,
+        "mean_amplitude": float(samples.mean()) if samples.size else 0.0,
+    }
+
+
+def decode_payload(payload: bytes) -> dict:
+    """Dispatch on magic bytes to the real decoder for that container."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use fake_decode for deterministic tests"
+        "compressed codecs (PNG/JPEG/MP3/...) need PIL/librosa/av, absent "
+        "in this environment; PPM and WAV decode for real"
+    )
+
+
+def decode_image(payload: bytes) -> dict:
+    """Image decode seam: PPM (P6) parses for real; compressed formats
+    raise NotImplementedError (PIL absent in this container)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "compressed image codecs are not available in this environment; "
+        "PPM (P6) decodes for real, or use fake_decode for tests"
     )
 
 
@@ -59,6 +169,63 @@ def decode_features(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+MULTIMODAL_SCHEMA = (
+    "doc_id BIGINT, kind STRING, width INT, height INT, mean_pixel DOUBLE, "
+    "sample_rate INT, n_samples INT, duration_sec DOUBLE, mean_amplitude DOUBLE"
+)
+
+
+def synthesize_payloads(blobs: DataFrame) -> DataFrame:
+    """Deterministic multimodal fixture: (doc_id) -> real PPM or WAV
+    bytes, parameters derived arithmetically from doc_id so an oracle
+    can predict every decoded field. Even doc_ids become constant-color
+    PPM images, odd doc_ids constant-amplitude WAV clips. Runs as
+    Arrow-batched mapInPandas — the same shape a real ingest (S3 blob
+    fetch per key) would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    w, h, v = 4 + d % 13, 3 + d % 7, d % 251
+                    payloads.append(encode_ppm(w, h, bytes([v]) * (3 * w * h)))
+                else:
+                    rate = 8000 + 100 * (d % 5)
+                    n = 100 + d % 900
+                    amp = d % 1000 - 500
+                    payloads.append(
+                        encode_wav(rate, np.full(n, amp, dtype="<i2"))
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return blobs.mapInPandas(run, schema="doc_id BIGINT, payload BINARY")
+
+
+def decode_multimodal(blobs: DataFrame) -> DataFrame:
+    """Real decode pass over (doc_id, payload binary): dispatch per row
+    on magic bytes to the PPM/WAV parsers, emit a unified typed metadata
+    row (image fields NULL for audio rows and vice versa). Arrow batches
+    bound per-task memory regardless of partition size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("kind", "width", "height", "mean_pixel",
+                "sample_rate", "n_samples", "duration_sec", "mean_amplitude")
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for payload in pdf["payload"]:
+                m = decode_payload(bytes(payload))
+                for c in cols:
+                    rows[c].append(m.get(c))
+            out = pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+            for c in ("width", "height", "sample_rate", "n_samples"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return blobs.mapInPandas(run, schema=MULTIMODAL_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame BINARY, n_frame_bytes INT"

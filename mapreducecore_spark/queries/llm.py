@@ -689,27 +689,41 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ multimodal
 
 @register(
-    "multimodal_decode_stub",
+    "multimodal_decode",
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_feature,
-           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+           CASE WHEN doc_id % 2 = 0 THEN 'image/ppm' ELSE 'audio/wav' END AS kind,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(3 + doc_id % 7 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN ROUND(CAST(doc_id % 251 AS DOUBLE), 6) END AS mean_pixel,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + 100 * (doc_id % 5) AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(100 + doc_id % 900 AS INT) END AS n_samples,
+           CASE WHEN doc_id % 2 = 1 THEN ROUND(CAST(100 + doc_id % 900 AS DOUBLE)
+                / (8000 + 100 * (doc_id % 5)), 6) END AS duration_sec,
+           CASE WHEN doc_id % 2 = 1 THEN ROUND(CAST(doc_id % 1000 - 500 AS DOUBLE), 6) END AS mean_amplitude
     FROM documents
     """,
 )
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: payload -> binary column -> Arrow-batched
-    mapInPandas "decode" (deterministic stand-in; real codecs are the
-    stubbed seam in llm/multimodal.py). The Spark-side shape — schema,
-    binary transfer, batch iteration — is the real thing."""
-    from mapreducecore_spark.llm.multimodal import decode_features
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: synthesize PPM/WAV payloads with
+    doc_id-derived parameters (even ids -> constant-color P6 image, odd
+    ids -> constant-amplitude PCM WAV), then parse them back with the
+    dependency-free codecs in llm/multimodal.py (header walk + numpy
+    sample stats) over Arrow-batched mapInPandas. The oracle predicts
+    every decoded field arithmetically, so a value-hash match proves the
+    decoder correctly inverts the byte layout — not just the plumbing.
+    Replaces the round-1 `multimodal_decode_stub` (VERDICT item 3)."""
+    from mapreducecore_spark.llm.multimodal import decode_multimodal, synthesize_payloads
 
     t = load_tables(spark, sf_dir)
-    blobs = t["documents"].select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    blobs = synthesize_payloads(t["documents"].select("doc_id"))
+    return decode_multimodal(blobs).select(
+        "doc_id", "kind", "width", "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "sample_rate", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("mean_amplitude", 6).alias("mean_amplitude"),
     )
-    return decode_features(blobs)
 
 
 _QUALITY_KEY_FMT = "%08.6f|%019d"  # quality | inverted doc_id (ties -> lowest id)

@@ -86,11 +86,63 @@ def test_ann_lsh_recall_on_planted_neardups(spark):
     )
 
 
-def test_multimodal_decode_stub_raises_for_real_codec():
-    from mapreducecore_spark.llm.multimodal import decode_image
+def test_multimodal_decode_raises_for_compressed_codec():
+    from mapreducecore_spark.llm.multimodal import decode_image, decode_payload
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_ppm_codec_roundtrip_and_comments():
+    from mapreducecore_spark.llm.multimodal import decode_ppm, encode_ppm
+
+    m = decode_ppm(encode_ppm(5, 4, bytes([77]) * 60))
+    assert (m["width"], m["height"], m["mean_pixel"]) == (5, 4, 77.0)
+    # '#' comments inside the header are part of the PPM spec
+    m2 = decode_ppm(b"P6\n# a comment\n3 2\n255\n" + bytes([10]) * 18)
+    assert (m2["width"], m2["height"], m2["mean_pixel"]) == (3, 2, 10.0)
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from mapreducecore_spark.llm.multimodal import decode_wav, encode_wav
+
+    w = encode_wav(8200, np.full(350, -123, dtype="<i2"))
+    m = decode_wav(w)
+    assert (m["sample_rate"], m["n_samples"], m["mean_amplitude"]) == (8200, 350, -123.0)
+    assert abs(m["duration_sec"] - 350 / 8200) < 1e-12
+    # an unknown odd-sized chunk before 'data' must be skipped (word-aligned)
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+    w2 = w[:12] + extra + w[12:]
+    w2 = w2[:4] + struct.pack("<I", len(w2) - 8) + w2[8:]
+    assert decode_wav(w2) == m
+
+
+def test_multimodal_decode_query_inverts_synthesizer(spark, sf_dir):
+    """Spark-side check: decoded metadata matches the doc_id-derived
+    generation parameters for both modalities."""
+    from mapreducecore_spark.queries import REGISTRY
+
+    rows = REGISTRY["multimodal_decode"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        if d % 2 == 0:
+            assert r["kind"] == "image/ppm"
+            assert (r["width"], r["height"]) == (4 + d % 13, 3 + d % 7)
+            assert r["mean_pixel"] == float(d % 251)
+            assert r["sample_rate"] is None
+        else:
+            assert r["kind"] == "audio/wav"
+            assert r["sample_rate"] == 8000 + 100 * (d % 5)
+            assert r["n_samples"] == 100 + d % 900
+            assert r["mean_amplitude"] == float(d % 1000 - 500)
+            assert r["width"] is None
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
