@@ -86,6 +86,9 @@ def _grouped_reduce(reducer: ReducerFn):
     return run
 
 
+_REDUCE_BATCH_ROWS = 8192
+
+
 def run_mapreduce(
     spark: SparkSession,
     lines: DataFrame,
@@ -96,20 +99,95 @@ def run_mapreduce(
 ) -> DataFrame:
     """Full map -> shuffle -> sorted reduce pipeline over a one-string-
     column DataFrame; returns (key, value) rows (plus partition_id when
-    requested, for sortedness verification)."""
-    pairs = lines.rdd.flatMap(lambda row: mapper(row[0]))
-    sorted_parts = pairs.repartitionAndSortWithinPartitions(
-        numPartitions=n_outputs, partitionFunc=portable_hash
+    requested, for sortedness verification).
+
+    Arrow end to end: the mapper and reducer are per-row Python (that IS
+    the reference's user contract), but every engine boundary moves
+    columnar record batches — ``mapInArrow`` for the map+partition
+    stage, a DataFrame (JVM Tungsten) shuffle co-locating each logical
+    partition, and a second ``mapInArrow`` streaming key-runs through
+    the reducer. No pickled Python RDD shuffle, no per-row
+    ``createDataFrame`` re-ingestion (the round-1 bench bottleneck).
+    Logical partition = ``portable_hash(key) % n_outputs`` exactly as
+    before; rows of one logical partition are contiguous and key-sorted.
+    """
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    def map_to_pairs(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            pids: list[int] = []
+            keys: list[str] = []
+            vals: list[str] = []
+            for line in batch.column(0).to_pylist():
+                if line is None:
+                    continue
+                for k, v in mapper(line):
+                    pids.append(portable_hash(k) % n_outputs)
+                    keys.append(k)
+                    vals.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(pids, pa.int32()),
+                    pa.array(keys, pa.string()),
+                    pa.array(vals, pa.string()),
+                ],
+                ["partition_id", "key", "value"],
+            )
+
+    kv = lines.mapInArrow(map_to_pairs, "partition_id int, key string, value string")
+    # One JVM shuffle: all rows of a logical partition land in the same
+    # task; the sort gives the reducer its ascending-key contract
+    # (worker.h:150-152) with logical partitions laid out contiguously.
+    shuffled = kv.repartition(n_outputs, F.col("partition_id")).sortWithinPartitions(
+        "partition_id", "key"
     )
-    reduce_fn = _grouped_reduce(reducer)
-    if with_partition_id:
-        out = sorted_parts.mapPartitionsWithIndex(
-            lambda pid, it: ((pid, k, v) for k, v in reduce_fn(it)),
-            preservesPartitioning=True,
-        )
-        return spark.createDataFrame(out, PARTITIONED_KV_SCHEMA)
-    out = sorted_parts.mapPartitions(reduce_fn, preservesPartitioning=True)
-    return spark.createDataFrame(out, KV_SCHEMA)
+
+    def reduce_stream(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        cur: tuple[int, str] | None = None
+        vals: list[str] = []
+        out_p: list[int] = []
+        out_k: list[str] = []
+        out_v: list[str] = []
+
+        def flush_group() -> None:
+            if cur is not None:
+                for k2, v2 in reducer(cur[1], vals):
+                    out_p.append(cur[0])
+                    out_k.append(k2)
+                    out_v.append(v2)
+            vals.clear()
+
+        def emit() -> "pa.RecordBatch":
+            b = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_p, pa.int32()),
+                    pa.array(out_k, pa.string()),
+                    pa.array(out_v, pa.string()),
+                ],
+                ["partition_id", "key", "value"],
+            )
+            out_p.clear(), out_k.clear(), out_v.clear()
+            return b
+
+        for batch in batches:
+            d = batch.to_pydict()
+            for pid, k, v in zip(d["partition_id"], d["key"], d["value"]):
+                if cur is None or (pid, k) != cur:
+                    flush_group()
+                    cur = (pid, k)
+                vals.append(v)
+            if len(out_k) >= _REDUCE_BATCH_ROWS:
+                yield emit()
+        flush_group()
+        if out_k:
+            yield emit()
+
+    out = shuffled.mapInArrow(
+        reduce_stream, "partition_id int, key string, value string"
+    )
+    return out if with_partition_id else out.select("key", "value")
 
 
 def run_job(

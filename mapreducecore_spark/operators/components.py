@@ -37,6 +37,8 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 20,
     n_partitions: int | None = None,
+    reliable_checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Components of the undirected graph given by `pairs`.
 
@@ -50,10 +52,28 @@ def connected_components(
     a small fraction of the corpus, so running the loop at the session's
     full shuffle width just multiplies per-round task overhead; callers
     with a huge dense graph pass a bigger value.
+
+    Durability: per-round `materialize` is `localCheckpoint` — executor
+    block storage, fast but NOT fault-tolerant (an executor loss drops
+    blocks and kills the job mid-iteration). For long cluster runs pass
+    `reliable_checkpoint_dir` (HDFS/S3): every `checkpoint_every` rounds
+    the label table is written through `df.checkpoint()` to that
+    directory, so recovery replays at most `checkpoint_every - 1` cheap
+    rounds instead of the whole lineage. The trade is one durable
+    write + read per k rounds vs restart-from-zero on failure — at
+    100 TB the write is tiny (labels are 2 long columns) and the
+    restart is hours, so set it.
     """
     spark = pairs.sparkSession
     if n_partitions is None:
         n_partitions = max(8, spark.sparkContext.defaultParallelism // 4)
+    if reliable_checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+
+    def durable(df: DataFrame, round_no: int) -> DataFrame:
+        if reliable_checkpoint_dir is not None and round_no % checkpoint_every == 0:
+            return df.checkpoint(eager=True)  # reliable: survives executor loss
+        return materialize(df)
     # Materialize the PAIRS (not the doubled edge list): both union
     # branches and every propagation round then reread one checkpointed
     # copy half the size of the symmetric edge list. The doubled list is
@@ -72,7 +92,7 @@ def connected_components(
         )
     )
 
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         # Neighbor labels flow along edges; keep the min per node. Old
         # rows are tagged so the same aggregate also yields each node's
         # previous label — min-label propagation is monotone, so
@@ -81,14 +101,15 @@ def connected_components(
             F.col("v").alias("node"), F.col("label"), F.lit(False).alias("is_old")
         )
         old = labels.select("node", "label", F.lit(True).alias("is_old"))
-        new_labels = materialize(
+        new_labels = durable(
             old.union(prop)
             .repartition(n_partitions, "node")
             .groupBy("node")
             .agg(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("is_old"), F.col("label"))).alias("prev"),
-            )
+            ),
+            round_no,
         )
         changed = new_labels.filter(F.col("label") < F.col("prev")).count()
         labels = new_labels.select("node", "label")

@@ -18,13 +18,19 @@ Arrow-batched, never per-row.
 
 Environment note: the TWS state protocol requires the protobuf package
 (pyspark's transform_with_state_driver_worker imports generated
-StateMessage_pb2). This container lacks protobuf, so tests/
-test_tws_streaming.py skips itself when `google.protobuf` is missing;
-the code runs unchanged on a standard cluster image.
+StateMessage_pb2). Where `google.protobuf` is missing (this container),
+the `*_auto` entry points run the SAME StatefulProcessor classes on an
+applyInPandasWithState fallback runtime: shim ValueState/MapState
+handles are persisted as one pickled blob in the old API's GroupState.
+Same processor code, same per-key semantics; the trade is blob state
+(opaque to the state store) instead of typed columns — fine for a
+compatibility path, and on a standard cluster image (protobuf present)
+the auto functions use real transformWithStateInPandas.
 """
 
 from __future__ import annotations
 
+import pickle
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,6 +39,13 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
 )
+
+try:  # the TWS wire protocol needs protobuf; fall back if absent
+    import google.protobuf  # noqa: F401
+
+    HAS_TWS_PROTOCOL = True
+except ImportError:
+    HAS_TWS_PROTOCOL = False
 
 STATS_OUTPUT = "user_id BIGINT, n_events BIGINT, total_value DOUBLE, max_value DOUBLE"
 DISTINCT_OUTPUT = "user_id BIGINT, n_types BIGINT"
@@ -83,6 +96,166 @@ class DistinctTypesProcessor(StatefulProcessor):
         pass
 
 
+# ---------------------------------------------------------------------
+# Fallback runtime: run a StatefulProcessor on applyInPandasWithState.
+
+
+class _ShimValueState:
+    """TWS ValueState API backed by a slot in the fallback blob."""
+
+    def __init__(self) -> None:
+        self._value = None
+        self._exists = False
+
+    def exists(self) -> bool:
+        return self._exists
+
+    def get(self):
+        return self._value
+
+    def update(self, value) -> None:
+        self._value = value
+        self._exists = True
+
+    def clear(self) -> None:
+        self._value, self._exists = None, False
+
+    def _dump(self):
+        return (self._exists, self._value)
+
+    def _load(self, payload) -> None:
+        self._exists, self._value = payload
+
+
+class _ShimMapState:
+    """TWS MapState API (tuple keys/values) backed by a dict slot."""
+
+    def __init__(self) -> None:
+        self._map: dict = {}
+
+    def exists(self) -> bool:
+        return bool(self._map)
+
+    def containsKey(self, key) -> bool:
+        return tuple(key) in self._map
+
+    def getValue(self, key):
+        return self._map.get(tuple(key))
+
+    def updateValue(self, key, value) -> None:
+        self._map[tuple(key)] = tuple(value)
+
+    def removeKey(self, key) -> None:
+        self._map.pop(tuple(key), None)
+
+    def keys(self):
+        return iter(list(self._map.keys()))
+
+    def values(self):
+        return iter(list(self._map.values()))
+
+    def iterator(self):
+        return iter(list(self._map.items()))
+
+    def clear(self) -> None:
+        self._map.clear()
+
+    def _dump(self):
+        return dict(self._map)
+
+    def _load(self, payload) -> None:
+        self._map = dict(payload)
+
+
+class _ShimListState:
+    """TWS ListState API backed by a list slot."""
+
+    def __init__(self) -> None:
+        self._rows: list = []
+
+    def exists(self) -> bool:
+        return bool(self._rows)
+
+    def get(self):
+        return iter(list(self._rows))
+
+    def put(self, rows) -> None:
+        self._rows = [tuple(r) for r in rows]
+
+    def appendValue(self, row) -> None:
+        self._rows.append(tuple(row))
+
+    def appendList(self, rows) -> None:
+        self._rows.extend(tuple(r) for r in rows)
+
+    def clear(self) -> None:
+        self._rows.clear()
+
+    def _dump(self):
+        return list(self._rows)
+
+    def _load(self, payload) -> None:
+        self._rows = list(payload)
+
+
+class _ShimHandle:
+    """StatefulProcessorHandle lookalike registering shim states."""
+
+    def __init__(self) -> None:
+        self._states: dict[str, object] = {}
+
+    def getValueState(self, name: str, schema, ttl_duration_ms=None):
+        return self._states.setdefault(name, _ShimValueState())
+
+    def getMapState(self, name: str, key_schema, value_schema, ttl_duration_ms=None):
+        return self._states.setdefault(name, _ShimMapState())
+
+    def getListState(self, name: str, schema, ttl_duration_ms=None):
+        return self._states.setdefault(name, _ShimListState())
+
+    def _dump(self) -> bytes:
+        return pickle.dumps({n: s._dump() for n, s in self._states.items()})
+
+    def _load(self, blob: bytes) -> None:
+        for name, payload in pickle.loads(bytes(blob)).items():
+            if name in self._states:
+                self._states[name]._load(payload)
+
+
+def run_processor_with_fallback(
+    df: DataFrame,
+    key_cols: list[str],
+    processor_factory,
+    output_schema: str,
+) -> DataFrame:
+    """Execute a TWS StatefulProcessor via applyInPandasWithState.
+
+    Per micro-batch and key: build the processor, init() it against a
+    shim handle, hydrate the handle from the GroupState blob, stream the
+    key's rows through handleInputRows, persist the handle back. The
+    processor code is byte-identical to the real-TWS path."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        proc = processor_factory()
+        handle = _ShimHandle()
+        proc.init(handle)
+        if state.exists:
+            handle._load(state.get[0])
+        out = list(proc.handleInputRows(key, pdfs, None))
+        state.update((handle._dump(),))
+        proc.close()
+        yield from out
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType="blob BINARY",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_stats_tws(events: DataFrame) -> DataFrame:
     """Per-user running count/sum/max via transformWithStateInPandas."""
     return (
@@ -108,4 +281,25 @@ def distinct_types_tws(events: DataFrame) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
+    )
+
+
+def running_user_stats_auto(events: DataFrame) -> DataFrame:
+    """Real TWS when the protobuf protocol is available, identical
+    processor on the applyInPandasWithState fallback otherwise."""
+    if HAS_TWS_PROTOCOL:
+        return running_user_stats_tws(events)
+    return run_processor_with_fallback(
+        events.select("user_id", "value"), ["user_id"],
+        RunningStatsProcessor, STATS_OUTPUT,
+    )
+
+
+def distinct_types_auto(events: DataFrame) -> DataFrame:
+    """Real TWS when available, fallback runtime otherwise."""
+    if HAS_TWS_PROTOCOL:
+        return distinct_types_tws(events)
+    return run_processor_with_fallback(
+        events.select("user_id", "event_type"), ["user_id"],
+        DistinctTypesProcessor, DISTINCT_OUTPUT,
     )

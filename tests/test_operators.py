@@ -146,6 +146,31 @@ def test_connected_components_shapes(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With reliable_checkpoint_dir set, the loop runs through
+    df.checkpoint() (fault-tolerant lineage cut): results identical and
+    checkpoint files actually land in the directory. checkpoint_every=1
+    forces the durable path every round; a long chain needs >1 round so
+    both the checkpoint and the convergence logic are exercised."""
+    import os
+
+    from mapreducecore_spark.operators.components import connected_components
+
+    chain = [(i, i + 1) for i in range(12)] + [(50, 51)]
+    pairs = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs, reliable_checkpoint_dir=ckpt, checkpoint_every=1
+        ).collect()
+    }
+    expect = {i: 0 for i in range(13)} | {50: 50, 51: 50}
+    assert got == expect
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "reliable checkpoint wrote no files"
+
+
 @pytest.mark.parametrize("seed", [7, 23, 99])
 def test_merge_asof_matches_naive(spark, seed):
     """Randomized check: merge_asof == nested-loop reference (latest

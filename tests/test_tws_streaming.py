@@ -3,19 +3,14 @@ in ValueState and distinct-type membership in MapState, driven by
 deterministic file-source micro-batches.
 
 The TWS state protocol needs the protobuf package (its driver worker
-imports pyspark...proto.StateMessage_pb2); this container doesn't ship
-it, so the whole module is skipped when protobuf is absent — on a real
-cluster image (protobuf present) these run as-is.
+imports pyspark...proto.StateMessage_pb2). The *_auto entry points run
+real TWS when protobuf is present (standard cluster image) and execute
+the SAME StatefulProcessor classes on the applyInPandasWithState
+fallback runtime otherwise — so these tests run everywhere, exercising
+the processor logic and per-key state accumulation either way.
 """
 
 from __future__ import annotations
-
-import pytest
-
-pytest.importorskip(
-    "google.protobuf",
-    reason="transformWithStateInPandas state protocol requires protobuf",
-)
 
 import shutil
 import uuid
@@ -24,8 +19,8 @@ from datetime import datetime
 import pytest
 
 from mapreducecore_spark.streaming.tws import (
-    distinct_types_tws,
-    running_user_stats_tws,
+    distinct_types_auto,
+    running_user_stats_auto,
 )
 from mapreducecore_spark.streaming.windows import read_event_stream
 
@@ -64,7 +59,7 @@ def test_tws_running_stats_accumulate_across_batches(spark, stream_env):
     write_batch([_ev(1, "2024-06-01 10:00:00", user=7, value=2.0),
                  _ev(2, "2024-06-01 10:01:00", user=7, value=5.0)])
     name = f"tws_{uuid.uuid4().hex[:8]}"
-    q = _start(running_user_stats_tws(read_event_stream(spark, src)), name)
+    q = _start(running_user_stats_auto(read_event_stream(spark, src)), name)
     try:
         q.processAllAvailable()
         write_batch([_ev(3, "2024-06-01 10:02:00", user=7, value=1.0),
@@ -90,7 +85,7 @@ def test_tws_mapstate_distinct_types(spark, stream_env):
     write_batch([_ev(1, "2024-06-01 10:00:00", user=7, etype="view"),
                  _ev(2, "2024-06-01 10:01:00", user=7, etype="click")])
     name = f"tws_{uuid.uuid4().hex[:8]}"
-    q = _start(distinct_types_tws(read_event_stream(spark, src)), name)
+    q = _start(distinct_types_auto(read_event_stream(spark, src)), name)
     try:
         q.processAllAvailable()
         # 'view' repeats (no growth), 'purchase' is new.
