@@ -96,13 +96,19 @@ def validate_spec(spec: JobSpec, check_paths: bool = True) -> JobSpec:
         raise SpecError("user_id must be set")
     if not spec.input_files:
         raise SpecError("input_files must be non-empty")
+    if not spec.output_dir:
+        raise SpecError("output_dir must be set")
     if check_paths:
         for p in spec.input_files:
             if not os.path.exists(p):
                 raise SpecError(f"input file does not exist: {p}")
         parent = os.path.dirname(spec.output_dir.rstrip("/")) or "."
-        if spec.output_dir and not os.path.isdir(parent):
+        if not os.path.isdir(parent):
             raise SpecError(f"output_dir parent does not exist: {parent}")
+        # Probe writability like the reference's trial-file check
+        # (mapreduce_spec.h validate: open+unlink in the target dir).
+        if not os.access(parent, os.W_OK):
+            raise SpecError(f"output_dir parent is not writable: {parent}")
     return spec
 
 

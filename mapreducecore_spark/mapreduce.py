@@ -89,6 +89,24 @@ def _grouped_reduce(reducer: ReducerFn):
 _REDUCE_BATCH_ROWS = 8192
 
 
+def md5_partitioner(n_outputs: int) -> Callable[[str], int]:
+    """Engine-portable routing: two hex chars of md5(key) -> [0, n).
+
+    The reference routes with std::hash (mr_tasks.h:44-45), which is
+    implementation-defined — S2's contract is deterministic routing +
+    per-partition sortedness, not specific hash values. md5 is
+    computable identically in Spark SQL, DuckDB, and Python, so a query
+    routed this way can have its partition_id column value-checked by a
+    cross-engine oracle (portable_hash cannot be expressed in SQL)."""
+    import hashlib
+
+    def pid(key: str) -> int:
+        h = hashlib.md5(key.encode("utf-8", "surrogateescape")).hexdigest()
+        return (ord(h[30]) * 16 + ord(h[31])) % n_outputs
+
+    return pid
+
+
 def run_mapreduce(
     spark: SparkSession,
     lines: DataFrame,
@@ -96,6 +114,7 @@ def run_mapreduce(
     reducer: ReducerFn,
     n_outputs: int = 8,
     with_partition_id: bool = False,
+    partition_fn: Callable[[str], int] | None = None,
 ) -> DataFrame:
     """Full map -> shuffle -> sorted reduce pipeline over a one-string-
     column DataFrame; returns (key, value) rows (plus partition_id when
@@ -115,6 +134,8 @@ def run_mapreduce(
 
     from pyspark.sql import functions as F
 
+    route = partition_fn or (lambda k: portable_hash(k) % n_outputs)
+
     def map_to_pairs(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
             pids: list[int] = []
@@ -124,7 +145,7 @@ def run_mapreduce(
                 if line is None:
                     continue
                 for k, v in mapper(line):
-                    pids.append(portable_hash(k) % n_outputs)
+                    pids.append(route(k))
                     keys.append(k)
                     vals.append(v)
             yield pa.RecordBatch.from_arrays(

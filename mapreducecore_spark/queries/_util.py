@@ -52,11 +52,15 @@ def spread(df, min_parts: int = 16):
     shingling, per-shingle md5, fingerprinting — runs as a single
     serial task no matter how many cores the cluster has. One cheap
     round-robin shuffle of the raw rows buys full parallelism for
-    everything after it. At 100 TB the input has thousands of splits
-    and this is a no-op (we only repartition when the scan is narrower
-    than min_parts), so the guard costs nothing at scale.
+    everything after it. At 100 TB the input has thousands of files
+    and this is a no-op (we only repartition when the scan reads fewer
+    files than min_parts), so the guard costs nothing at scale.
+
+    The probe is `inputFiles()` — answered from the (cached) file
+    index, unlike `df.rdd.getNumPartitions()` which converts the whole
+    logical plan to an RDD per call.
     """
-    if df.rdd.getNumPartitions() < min_parts:
+    if len(df.inputFiles()) < min_parts:
         return df.repartition(min_parts)
     return df
 

@@ -64,12 +64,32 @@ def mr_wordcount_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mr_sorted_partition_sink", oracle=None)
+_SINK_PID_DUCK = (
+    "CAST((ascii(substr(md5(token), 31, 1)) * 16"
+    " + ascii(substr(md5(token), 32, 1))) % 8 AS INT)"
+)
+
+_SINK_ORACLE = f"""
+    SELECT {_SINK_PID_DUCK} AS partition_id,
+           token AS key, CAST(COUNT(*) AS VARCHAR) AS value
+    FROM (SELECT unnest(string_split_regex(text, '{SPLIT_REGEX_SQL}')) AS token
+          FROM documents) t(token)
+    WHERE token <> ''
+    GROUP BY token
+"""
+
+
+@register("mr_sorted_partition_sink", oracle=_SINK_ORACLE)
 def mr_sorted_partition_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 sink semantics (mr_tasks.h:109-121): R hash partitions, each
-    key-sorted. Returns partition_id so tests can assert per-partition
-    sortedness + partition count; no SQL oracle (partition assignment is
-    engine-hash-specific by design — SURVEY §2 S2)."""
+    key-sorted (tests assert sortedness; the driver's sorted-row compare
+    verifies content + routing). Routed with md5_partitioner so the
+    partition_id column is itself oracle-checkable — the reference's
+    std::hash routing is implementation-defined, so S2's contract is
+    deterministic routing, not specific hash values; portable_hash stays
+    the contract-layer default (tests/test_mapreduce_contract.py)."""
+    from mapreducecore_spark.mapreduce import md5_partitioner
+
     t = load_tables(spark, sf_dir)
     lines = t["documents"].select("text")
     return run_mapreduce(
@@ -79,4 +99,5 @@ def mr_sorted_partition_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordcount_reducer,
         n_outputs=8,
         with_partition_id=True,
+        partition_fn=md5_partitioner(8),
     )

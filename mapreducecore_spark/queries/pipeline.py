@@ -694,7 +694,29 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_CAPACITY = 512
 
 
-@register("pack_sequences_greedy", oracle=None, doc="rows-only: stateful per-group scan")
+_PACK_ORACLE = f"""
+    WITH RECURSIVE toks AS (
+      SELECT lang, doc_id, CAST(len({_TOKS_DUCK}) AS INT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ), pack AS (
+      SELECT lang, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_id,
+             CAST(n_tokens AS BIGINT) AS fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {PACK_CAPACITY}
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {PACK_CAPACITY}
+                  THEN CAST(t.n_tokens AS BIGINT) ELSE p.fill + t.n_tokens END
+      FROM toks t JOIN pack p ON t.lang = p.lang AND t.rn = p.rn + 1
+    )
+    SELECT lang, bin_id, doc_id, n_tokens FROM pack
+"""
+
+
+@register("pack_sequences_greedy", oracle=_PACK_ORACLE)
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: greedily fill context windows of
     PACK_CAPACITY tokens per language, docs in doc_id order (first-fit
@@ -703,9 +725,10 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the applyInPandas seam: token counts are computed JVM-side first
     and only narrow (lang, doc_id, n_tokens) rows reach Python. The
     per-group state is O(1); groups parallelize across the cluster.
-    Not SQL-expressible without recursion -> rows-only driver check;
-    the exact packing is pinned by tests/test_pipeline_ops.py against
-    a pure-Python reference."""
+    The first-fit recurrence is replayed by the oracle as a DuckDB
+    recursive CTE (one iteration per doc rank, all langs in parallel);
+    the packing is also pinned by tests/test_pipeline_ops.py against a
+    pure-Python reference."""
     import pandas as pd
 
     t = load_tables(spark, sf_dir)

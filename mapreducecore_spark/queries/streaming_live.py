@@ -46,7 +46,13 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drain(out: DataFrame, spark: SparkSession) -> DataFrame:
     """Run the streaming frame to completion (availableNow) into a
-    memory sink; return the sink contents as a batch DataFrame."""
+    memory sink; return the sink contents as a batch DataFrame.
+
+    The memory sink + complete mode accumulate on the driver — test
+    plumbing only. The registry entries keep output cardinality small
+    (windowed/grouped aggregates, thousands of rows); a production
+    drain writes parquet/Kafka through the same writeStream instead.
+    """
     name = f"live_{uuid.uuid4().hex[:12]}"
     q = (
         out.writeStream.format("memory")
@@ -56,7 +62,12 @@ def _drain(out: DataFrame, spark: SparkSession) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
+        if not finished:
+            raise RuntimeError(
+                f"streaming drain {name!r} did not finish within 120s; "
+                "memory sink holds a partial result"
+            )
     finally:
         q.stop()
     return spark.table(name)
