@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_live_tumbling_counts",
     "stream_live_user_totals",
     "stream_live_dedup_totals",
+    "stream_live_tws_distinct_types",
     # Batch-checkable streaming semantics.
     "events_tumbling_window",
     "events_dedup",

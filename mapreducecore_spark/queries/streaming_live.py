@@ -44,20 +44,20 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _drain(out: DataFrame, spark: SparkSession) -> DataFrame:
+def _drain(out: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
     """Run the streaming frame to completion (availableNow) into a
     memory sink; return the sink contents as a batch DataFrame.
 
-    The memory sink + complete mode accumulate on the driver — test
-    plumbing only. The registry entries keep output cardinality small
-    (windowed/grouped aggregates, thousands of rows); a production
-    drain writes parquet/Kafka through the same writeStream instead.
+    The memory sink accumulates on the driver — test plumbing only. The
+    registry entries keep output cardinality small (windowed/grouped
+    aggregates, thousands of rows); a production drain writes
+    parquet/Kafka through the same writeStream instead.
     """
     name = f"live_{uuid.uuid4().hex[:12]}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -142,3 +142,26 @@ def stream_live_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_unique"))
     )
     return _drain(out, spark)
+
+
+@register(
+    "stream_live_tws_distinct_types",
+    oracle="""
+    SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_live_tws_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming LIVE: per-user distinct-event-type
+    membership held in processor state (streaming/tws.py
+    DistinctTypesProcessor — real transformWithStateInPandas where the
+    protobuf protocol exists, the applyInPandasWithState fallback
+    runtime otherwise; identical processor code either way). Update
+    mode emits one row per user per micro-batch; the membership count
+    is grow-only, so max(n_types) per user after the drain is the final
+    state — an exact integer the batch COUNT(DISTINCT) oracle checks."""
+    from mapreducecore_spark.streaming.tws import distinct_types_auto
+
+    ev = _event_stream(spark, sf_dir)
+    drained = _drain(distinct_types_auto(ev), spark, mode="update")
+    return drained.groupBy("user_id").agg(F.max("n_types").alias("n_types"))

@@ -1,0 +1,81 @@
+"""Generate a scaled-up copy of the sf0.1 testdata for scaling-slope
+benchmarks (VERDICT r1 item 8): facts are replicated COPIES times with
+shifted keys (referential integrity preserved), dims are copied as-is.
+
+Document text gets a per-copy suffix token so exact-dup structure stays
+proportional (10 identical corpora would make every doc a 10-way exact
+dup and distort the near-dup workload); the near-dup structure WITHIN
+each copy is preserved.
+
+Output: /root/repo/_scaledata/sf1/<table>.parquet (single file per
+table; the engine splits parquet by row group / maxPartitionBytes, and
+spread() widens the narrow scans the same way it would real multi-file
+input). Gitignored — regenerate with: python tools/gen_scaledata.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/_scaledata/sf1"
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+
+OFF = 10_000_000_000  # key shift per copy; far above any real key
+
+COPY_AS_IS = ("region", "nation", "customer", "supplier", "part")
+
+FACTS = {
+    "orders": """
+        SELECT o_orderkey + c * {off} AS o_orderkey, o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM src CROSS JOIN copies
+    """,
+    "lineitem": """
+        SELECT l_orderkey + c * {off} AS l_orderkey, l_partkey, l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+               l_returnflag, l_linestatus, l_shipdate
+        FROM src CROSS JOIN copies
+    """,
+    "documents": """
+        SELECT doc_id + c * {off} AS doc_id,
+               CASE WHEN c = 0 THEN text ELSE text || ' copytok' || c END AS text,
+               lang, source, n_chars
+        FROM src CROSS JOIN copies
+    """,
+    "embeddings": """
+        SELECT vec_id + c * {off} AS vec_id, embedding, label
+        FROM src CROSS JOIN copies
+    """,
+    "events": """
+        SELECT event_id + c * {off} AS event_id, ts, user_id,
+               event_type, value, props
+        FROM src CROSS JOIN copies
+    """,
+}
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW copies AS SELECT unnest(range({COPIES})) AS c")
+    for t in COPY_AS_IS:
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{t}: copied")
+    for t, sql in FACTS.items():
+        con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{SRC}/{t}.parquet'")
+        q = sql.format(off=OFF)
+        con.execute(
+            f"COPY ({q}) TO '{DST}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)"
+        )
+        n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
