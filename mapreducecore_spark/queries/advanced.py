@@ -627,7 +627,8 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("prev_ts").isNull()
             | (
-                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
                 > 3_600_000_000
             )
         )

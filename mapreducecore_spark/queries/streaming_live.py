@@ -21,27 +21,28 @@ from pyspark.sql import functions as F
 from mapreducecore_spark.catalog import tune_session
 from mapreducecore_spark.queries import register
 
-_EVENTS_NANOS_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-    "event_type STRING, value DOUBLE, props STRING"
-)
-
-
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the driver's events table. ts is
-    TIMESTAMP(NANOS) in the parquet — surfaced as long nanos (the
-    session sets nanosAsLong) and converted with the same exact
-    ns-div-1000 as catalog._fix_event_ts."""
+    """Streaming read of the driver's events table. The file source
+    needs an explicit schema, so take it from the parquet footer via a
+    batch read (cheap, metadata-only) — this adapts to either ts
+    physical type the generator has used (TIMESTAMP(NANOS) surfaced as
+    long nanos under nanosAsLong, or plain TIMESTAMP micros), then
+    normalizes exactly like catalog._fix_event_ts."""
+    import os
+
+    from mapreducecore_spark.catalog import _fix_event_ts
+
     tune_session(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # The table is a single file and the file source wants a directory:
     # stream the sf_dir with a glob pinned to the events file.
     raw = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _fix_event_ts(raw)
 
 
 def _drain(out: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:

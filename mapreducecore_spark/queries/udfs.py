@@ -132,24 +132,87 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_docs", oracle=None)
+# SimHash IS SQL-expressible because the token hash is md5 (available in
+# both engines): DuckDB re-derives the 64-bit hash from the first 16 hex
+# chars of md5(token) — verified byte-identical to Python's
+# struct.unpack(">Q", md5(tok).digest()[:8]).
+_SIMHASH_ORACLE_CTE = """
+    toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '[ ,."'']+')) AS tok
+        FROM documents)
+      WHERE tok <> ''
+    ), h AS (
+      SELECT doc_id, ('0x'||substr(md5(tok),1,16))::UBIGINT AS h64 FROM toks
+    ), bits AS (
+      SELECT doc_id, b.bit AS bit,
+             SUM(CASE WHEN (h64 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN (SELECT unnest(range(0,64)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ), packed AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << bit::INTEGER)
+                 ELSE 0 END)::UBIGINT AS usim
+      FROM bits GROUP BY doc_id
+    ), sim AS (
+      SELECT d.doc_id, COALESCE(p.usim, 0::UBIGINT) AS usim
+      FROM documents d LEFT JOIN packed p USING (doc_id)
+    )
+"""
+
+
+@register(
+    "simhash_docs",
+    oracle="WITH "
+    + _SIMHASH_ORACLE_CTE
+    + """
+    SELECT doc_id,
+           CAST(usim::HUGEINT - CASE WHEN usim >= 9223372036854775808::UBIGINT
+                THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                AS BIGINT) AS simhash
+    FROM sim
+    """,
+)
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (pandas UDF; non-SQL-expressible ->
-    rows-only driver check, validated in tests/test_llm_ops.py)."""
+    """64-bit SimHash per document. Spark side is the Arrow-batched
+    pandas UDF (llm/simhash.py); the oracle recomputes the identical
+    md5-bit majority vote in pure SQL, so the UDF path is value-checked
+    end to end (was rows-only before)."""
     from mapreducecore_spark.llm.simhash import add_simhash
 
     t = load_tables(spark, sf_dir)
     return add_simhash(t["documents"]).select("doc_id", "simhash")
 
 
-@register("simhash_neardup_pairs", oracle=None)
+@register(
+    "simhash_neardup_pairs",
+    oracle="WITH "
+    + _SIMHASH_ORACLE_CTE
+    + """
+    , banded AS (
+      SELECT doc_id, usim, b.band AS band,
+             (usim >> (16*b.band)::INTEGER) & 65535 AS chunk
+      FROM sim CROSS JOIN (SELECT unnest(range(0,4)) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.usim, b.usim)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.usim, b.usim)) <= 16
+    """,
+)
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding join: candidate pairs sharing a 16-bit band,
-    with exact Hamming distance attached (<=3 guaranteed caught)."""
+    with exact Hamming distance attached (<=3 guaranteed caught).
+    Value-checked against a full SQL re-derivation of the band join."""
     from mapreducecore_spark.llm.simhash import add_simhash, simhash_band_pairs
 
     t = load_tables(spark, sf_dir)
-    return simhash_band_pairs(add_simhash(t["documents"])).filter(F.col("hamming") <= 16)
+    return (
+        simhash_band_pairs(add_simhash(t["documents"]))
+        .filter(F.col("hamming") <= 16)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
 
 
 @register(
