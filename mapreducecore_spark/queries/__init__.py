@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_live_user_totals",
     "stream_live_dedup_totals",
     "stream_live_tws_distinct_types",
+    "stream_live_append_watermark",
     # Batch-checkable streaming semantics.
     "events_tumbling_window",
     "events_dedup",
@@ -84,6 +85,8 @@ _PRIORITY: tuple[str, ...] = (
     "lang_id_ngram",
     "token_count_bpe",
     "doc_fingerprint",
+    "quality_gopher_rules",
+    "boilerplate_ngram_flag",
     # Remaining dedup / embedding family.
     "dedup_keep_best_quality",
     "dedup_ngram_jaccard",

@@ -825,3 +825,146 @@ def dedup_neardup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("node", key).alias("keeper_doc_id"),
         )
     )
+
+
+# ------------------------------------------- corpus-level boilerplate
+
+_BOILER_DF = 5  # a 3-gram present in >= this many docs is boilerplate
+
+_BOILER_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_shingles_duck(3)}) AS shingle
+      FROM docs WHERE len(toks) >= 3
+    ), df AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    ), per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_shingles,
+             COUNT(*) FILTER (WHERE df.df >= {_BOILER_DF}) AS n_boiler
+      FROM sh s JOIN df ON df.shingle = s.shingle
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+           ROUND(CAST(COALESCE(p.n_boiler, 0) AS DOUBLE)
+                 / GREATEST(COALESCE(p.n_shingles, 0), 1), 6) AS boiler_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("boilerplate_ngram_flag", oracle=_BOILER_ORACLE)
+def boilerplate_ngram_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: a distinct 3-gram occurring
+    in >= _BOILER_DF documents is 'boilerplate'; per document, count
+    total vs boilerplate shingles. The inverted-index shape (explode ->
+    df count -> join back on shingle -> regroup by doc) keeps both
+    shuffles at shingle grain — the same scale contract as the Jaccard
+    dedup, no per-doc broadcast of the global df table needed."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
+    sh = docs.filter(F.expr("size(toks) >= 3")).selectExpr(
+        "doc_id", f"explode({_shingles_expr(3)}) AS shingle"
+    )
+    sh = materialize(sh)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("df") >= _BOILER_DF, 1)).alias("n_boiler"),
+        )
+    )
+    out = t["documents"].select("doc_id").join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+        F.round(
+            F.coalesce("n_boiler", F.lit(0)).cast("double")
+            / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+            6,
+        ).alias("boiler_frac"),
+    )
+
+
+# --------------------------------------------- Gopher-style rule filter
+
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MAX_WORDS = 100000
+_GOPHER_MIN_MWL = 2.0
+_GOPHER_MAX_MWL = 12.0
+_GOPHER_MIN_ALPHA = 0.8
+_GOPHER_MIN_STOP = 1
+
+_GOPHER_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_TOKS_DUCK} AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS n_tok_chars,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_filter(toks, x -> list_contains([{{SW}}], x)))
+               AS n_stop
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(CAST(n_tok_chars AS DOUBLE) / GREATEST(n_words, 1), 6)
+             AS mean_word_len,
+           ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1), 6)
+             AS alpha_frac,
+           CAST(n_stop AS BIGINT) AS n_stopwords,
+           CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+             AND CAST(n_tok_chars AS DOUBLE) / GREATEST(n_words, 1)
+                 BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+             AND CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1)
+                 >= {_GOPHER_MIN_ALPHA}
+             AND n_stop >= {_GOPHER_MIN_STOP} AS BOOLEAN) AS keep
+    FROM m
+"""
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=_GOPHER_ORACLE.replace("{SW}", _SW_SQL),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021's repetition-free
+    subset of rules, the ones computable without an LM): word-count
+    bounds, mean-word-length bounds, alphabetic-word fraction,
+    stopword floor -> one boolean keep flag per document. All
+    higher-order array functions, JVM-side, single scan, no shuffle."""
+    t = load_tables(spark, sf_dir)
+    sw_arr = "array(" + _SW_SQL + ")"
+    m = t["documents"].selectExpr(
+        "doc_id",
+        f"size({_TOKS}) AS n_words",
+        f"aggregate({_TOKS}, 0L, (acc, x) -> acc + length(x)) AS n_tok_chars",
+        f"size(filter({_TOKS}, x -> x rlike '[A-Za-z]')) AS n_alpha",
+        f"size(filter({_TOKS}, x -> array_contains({sw_arr}, x))) AS n_stop",
+    )
+    mwl = F.col("n_tok_chars").cast("double") / F.greatest("n_words", F.lit(1))
+    alpha = F.col("n_alpha").cast("double") / F.greatest("n_words", F.lit(1))
+    keep = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & mwl.between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+        & (alpha >= _GOPHER_MIN_ALPHA)
+        & (F.col("n_stop") >= _GOPHER_MIN_STOP)
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha, 6).alias("alpha_frac"),
+        F.col("n_stop").cast("bigint").alias("n_stopwords"),
+        keep.alias("keep"),
+    )

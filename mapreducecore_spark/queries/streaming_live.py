@@ -166,3 +166,43 @@ def stream_live_tws_distinct_types(spark: SparkSession, sf_dir: str) -> DataFram
     ev = _event_stream(spark, sf_dir)
     drained = _drain(distinct_types_auto(ev), spark, mode="update")
     return drained.groupBy("user_id").agg(F.max("n_types").alias("n_types"))
+
+
+@register(
+    "stream_live_append_watermark",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
+def stream_live_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling window in APPEND mode — the production
+    shape for unbounded streams: state for an hour-window is emitted
+    exactly once and evicted when the 10-minute watermark passes the
+    window end; open windows never reach the sink. The oracle encodes
+    Spark's finalization rule in SQL: after the availableNow drain the
+    final watermark is max(event time) - 10 min, so exactly the windows
+    whose end <= that watermark are emitted. (Complete-mode twin:
+    stream_live_tumbling_counts — together they pin both output-mode
+    semantics.)"""
+    # withWatermark requires TIMESTAMP (rejects TIMESTAMP_NTZ); the cast
+    # keeps the wall-clock value, and date_format below renders the same
+    # wall clock back, so the oracle's naive timestamps line up.
+    ev = (
+        _event_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    out = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n",
+        )
+    )
+    return _drain(out, spark, mode="append")
