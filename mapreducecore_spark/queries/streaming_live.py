@@ -206,3 +206,50 @@ def stream_live_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(out, spark, mode="append")
+
+
+@register(
+    "stream_live_session_append",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '5 minutes'
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 5 MINUTE
+           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
+def stream_live_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user under a 10-minute
+    watermark, APPEND mode, availableNow drain — the hardest streaming
+    finalization rule: a session closes only when the watermark passes
+    its end (last event + gap), and merged-then-closed sessions are
+    emitted exactly once. The oracle re-derives sessions with
+    gaps-and-islands SQL and applies the same closure cutoff
+    (session MAX(ts) + gap <= max event time - delay)."""
+    ev = (
+        _event_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    out = (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _drain(out, spark, mode="append")
