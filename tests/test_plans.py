@@ -235,3 +235,20 @@ def test_global_topk_is_take_ordered(spark, sf_dir, name):
 def test_sql_broadcast_hint_is_honored(spark, sf_dir):
     plan = plan_of(REGISTRY["join_hint_broadcast_sql"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_gopher_rules_single_scan_no_exchange(spark, sf_dir):
+    # Pure per-row rule evaluation: the plan must be a scan + project
+    # with NO shuffle — at 100 TB this runs fully map-side.
+    plan = plan_of(REGISTRY["quality_gopher_rules"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_boilerplate_partial_aggregates_at_shingle_grain(spark, sf_dir):
+    # df-count and per-doc regroup both get map-side partial aggs;
+    # nothing in the plan may be a cartesian join.
+    plan = plan_of(REGISTRY["boilerplate_ngram_flag"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 aggs
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
