@@ -294,3 +294,154 @@ def extract_feature_vectors(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------- real resize path
+
+
+def _ppm_raster(payload: bytes):
+    """Parse a P6 payload into (width, height, maxval, HxWx3 uint8)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1
+    width, height, maxval = tokens
+    px = np.frombuffer(payload, dtype=np.uint8, count=3 * width * height, offset=i)
+    return width, height, maxval, px.reshape(height, width, 3)
+
+
+def resize_ppm_nn(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize: decode the P6 raster, index-sample
+    source rows/cols (src = (dst * src_dim) // dst_dim — the standard
+    floor mapping), re-encode as P6. Pure numpy fancy-indexing; the
+    oracle can predict every output pixel from the same formula."""
+    w, h, maxval, px = _ppm_raster(payload)
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    out = px[rows][:, cols]
+    return encode_ppm(out_w, out_h, out.tobytes(), maxval)
+
+
+def synthesize_gradient_ppm(blobs: DataFrame) -> DataFrame:
+    """Gradient-image fixture: pixel (r, c) of doc d has all three
+    channels equal to (r + c + d) % 256, dims derived from doc_id like
+    synthesize_payloads. Non-constant rasters make resize resampling
+    observable (a constant image would hide wrong index math)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 13, 3 + d % 7
+                r = np.arange(h).reshape(-1, 1)
+                c = np.arange(w).reshape(1, -1)
+                v = ((r + c + d) % 256).astype(np.uint8)
+                rgb = np.repeat(v[:, :, None], 3, axis=2)
+                payloads.append(encode_ppm(w, h, rgb.tobytes()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return blobs.mapInPandas(run, schema="doc_id BIGINT, payload BINARY")
+
+
+def resize_decode(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize every payload to (out_w, out_h) then decode the result —
+    the thumbnail step of an image ingest, Arrow-batched end to end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"width": [], "height": [], "mean_pixel": []}
+            for payload in pdf["payload"]:
+                m = decode_ppm(resize_ppm_nn(bytes(payload), out_w, out_h))
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["mean_pixel"].append(m["mean_pixel"])
+            out = pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return blobs.mapInPandas(
+        run, schema="doc_id BIGINT, width INT, height INT, mean_pixel DOUBLE"
+    )
+
+
+# ------------------------------------------- real audio frame windows
+
+
+def synthesize_wave(blobs: DataFrame) -> DataFrame:
+    """Deterministic non-constant PCM fixture: sample i of doc d is
+    ((i * (d % 7 + 1)) % 200) - 100, length 100 + d % 900 — every
+    windowed statistic is arithmetically predictable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 100 + d % 900
+                i = np.arange(n, dtype=np.int64)
+                samples = ((i * (d % 7 + 1)) % 200) - 100
+                payloads.append(encode_wav(8000, samples.astype("<i2")))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return blobs.mapInPandas(run, schema="doc_id BIGINT, payload BINARY")
+
+
+WINDOW_STATS_SCHEMA = (
+    "doc_id BIGINT, window_idx INT, n_samples INT, mean_amp DOUBLE"
+)
+
+_AUDIO_WINDOW = 100  # samples per analysis frame
+
+
+def audio_window_stats(blobs: DataFrame) -> DataFrame:
+    """REAL audio frame sampling: decode the WAV PCM, split into
+    fixed-size windows, emit per-window stats (one input row fans out to
+    one row per window — the explode-shaped mapInPandas contract that a
+    video keyframe extractor would use identically)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, means = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] != b"RIFF":
+                    raise ValueError("audio_window_stats needs WAV payloads")
+                # Chunk walk identical to decode_wav, samples kept raw.
+                i, n = 12, len(payload)
+                data = b""
+                while i + 8 <= n:
+                    cid, size = struct.unpack_from("<4sI", payload, i)
+                    if cid == b"data":
+                        data = payload[i + 8 : i + 8 + size]
+                    i += 8 + size + (size & 1)
+                samples = np.frombuffer(data, dtype="<i2")
+                for w_idx in range(0, (samples.size + _AUDIO_WINDOW - 1) // _AUDIO_WINDOW):
+                    win = samples[w_idx * _AUDIO_WINDOW : (w_idx + 1) * _AUDIO_WINDOW]
+                    ids.append(doc_id)
+                    idxs.append(w_idx)
+                    ns.append(win.size)
+                    means.append(float(win.mean()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "mean_amp": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=WINDOW_STATS_SCHEMA)

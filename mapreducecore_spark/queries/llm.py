@@ -968,3 +968,85 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_stop").cast("bigint").alias("n_stopwords"),
         keep.alias("keep"),
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH evens AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ), cells AS (
+      SELECT e.doc_id,
+             ((i.i * e.h) // 6 + (j.j * e.w) // 8 + e.doc_id) % 256 AS v
+      FROM evens e
+      CROSS JOIN (SELECT unnest(range(0, 6)) AS i) i
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS width,
+           CAST(6 AS INT) AS height,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_pixel
+    FROM cells GROUP BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: synthesize gradient P6 rasters (pixel (r,c) =
+    (r + c + doc_id) % 256, dims from doc_id), nearest-neighbor resize
+    to 8x6 with the standard floor index map (src = dst*src_dim //
+    dst_dim), decode the result. The oracle recomputes every sampled
+    pixel arithmetically in SQL, so the hash match proves the resampling
+    index math — a constant-color fixture would hide it. Gradient makes
+    wrong row/col order, off-by-one, or ceil-vs-floor visible."""
+    from mapreducecore_spark.llm.multimodal import (
+        resize_decode,
+        synthesize_gradient_ppm,
+    )
+
+    t = load_tables(spark, sf_dir)
+    evens = t["documents"].select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    blobs = synthesize_gradient_ppm(evens)
+    out = resize_decode(blobs, out_w=8, out_h=6)
+    return out.select(
+        "doc_id", "width", "height", F.round("mean_pixel", 6).alias("mean_pixel")
+    )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH odds AS (
+      SELECT doc_id, 100 + doc_id % 900 AS n, doc_id % 7 + 1 AS k
+      FROM documents WHERE doc_id % 2 = 1
+    ), samples AS (
+      SELECT o.doc_id, i.i AS i,
+             CAST(i.i // 100 AS INT) AS window_idx,
+             (i.i * o.k) % 200 - 100 AS amp
+      FROM odds o
+      CROSS JOIN (SELECT unnest(range(0, 1000)) AS i) i
+      WHERE i.i < o.n
+    )
+    SELECT doc_id, window_idx,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           ROUND(AVG(CAST(amp AS DOUBLE)), 6) AS mean_amp
+    FROM samples GROUP BY doc_id, window_idx
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame sampling: synthesize non-constant PCM (sample i
+    = (i * (doc_id%7+1)) % 200 - 100), encode as RIFF/WAVE, decode the
+    data chunk and emit per-100-sample-window stats via explode-shaped
+    mapInPandas (one row in, one row per window out — the same fan-out a
+    video keyframe extractor uses). The oracle regenerates the waveform
+    with SQL arithmetic and aggregates the identical windows."""
+    from mapreducecore_spark.llm.multimodal import (
+        audio_window_stats,
+        synthesize_wave,
+    )
+
+    t = load_tables(spark, sf_dir)
+    odds = t["documents"].select("doc_id").filter(F.col("doc_id") % 2 == 1)
+    out = audio_window_stats(synthesize_wave(odds))
+    return out.select(
+        "doc_id", "window_idx", "n_samples", F.round("mean_amp", 6).alias("mean_amp")
+    )
