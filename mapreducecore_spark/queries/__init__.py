@@ -81,6 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     "mr_sorted_partition_sink",
     # Multimodal + text analysis.
     "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_audio_windows",
     "text_stats",
     "text_quality_score",
     "lang_id_ngram",

@@ -189,15 +189,23 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + _SIMHASH_ORACLE_CTE
     + """
-    , banded AS (
+    , banded0 AS (
       SELECT doc_id, usim, b.band AS band,
-             (usim >> (16*b.band)::INTEGER) & 65535 AS chunk
+             (usim >> (16*b.band)::INTEGER) & 65535 AS chunk,
+             (usim >> (16*((b.band+1)%4))::INTEGER) & 65535 AS chunk2
       FROM sim CROSS JOIN (SELECT unnest(range(0,4)) AS band) b
+    ), widths AS (
+      SELECT band, chunk, COUNT(*) AS w FROM banded0 GROUP BY band, chunk
+    ), banded AS (
+      SELECT b.doc_id, b.usim, b.band, b.chunk,
+             CASE WHEN w.w > 200 THEN b.chunk2 ELSE -1 END AS subkey
+      FROM banded0 b JOIN widths w ON w.band = b.band AND w.chunk = b.chunk
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.usim, b.usim)) AS INTEGER) AS hamming
     FROM banded a JOIN banded b
-      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      ON a.band = b.band AND a.chunk = b.chunk AND a.subkey = b.subkey
+     AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.usim, b.usim)) <= 16
     """,
 )
