@@ -132,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "set_intersect",
     "q21_suppliers_who_kept_waiting",
     "graph_pagerank_step",
+    "graph_pagerank_converged",
     "table_merge_upsert",
 )
 
