@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_live_tws_distinct_types",
     "stream_live_append_watermark",
     "stream_live_session_append",
+    "stream_live_foreachbatch_sink",
     # Batch-checkable streaming semantics.
     "events_tumbling_window",
     "events_dedup",

@@ -253,3 +253,45 @@ def stream_live_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(out, spark, mode="append")
+
+
+@register(
+    "stream_live_foreachbatch_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_live_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once SINK path: the event stream drains
+    through foreachBatch into batch_id-keyed parquet directories
+    (streaming/sinks.py — a replayed micro-batch overwrites its own
+    directory instead of appending duplicates), then the WRITTEN files
+    are read back and aggregated. The oracle is the batch aggregate
+    over the source table, so a hash match proves no row was lost or
+    duplicated through the write-replay-read cycle — the durability
+    contract the memory-sink entries can't test. Scratch dirs are
+    per-call tempdirs (test plumbing; production points out_dir at the
+    lake path and keeps the same checkpoint across runs)."""
+    import tempfile
+
+    from mapreducecore_spark.streaming.sinks import idempotent_parquet_sink
+
+    ev = _event_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="mrc_fb_sink_")
+    q = (
+        idempotent_parquet_sink(ev, f"{tmp}/out", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise RuntimeError("foreachBatch sink drain did not finish in 120s")
+    finally:
+        q.stop()
+    written = spark.read.parquet(f"{tmp}/out")  # partition col `batch` added
+    return written.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
