@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_funnel_conversion",
     # Past the round-1 window size; still ahead of the long tail.
     "q8_market_share",
+    "ann_recall_eval",
     "events_stateful_counts",
     "scalar_date_funcs",
     "scalar_json_funcs",

@@ -448,9 +448,7 @@ from mapreducecore_spark.llm.similarity import (  # noqa: E402
 )
 
 
-@register(
-    "ann_cosine_topk",
-    oracle=f"""
+_ANN_BRUTE_ORACLE = f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                FROM embeddings),
     q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),
@@ -464,8 +462,10 @@ from mapreducecore_spark.llm.similarity import (  # noqa: E402
                                    ORDER BY sim DESC, neighbor_id) AS rn
       FROM sims
     ) WHERE rn <= 5
-    """,
-)
+    """
+
+
+@register("ann_cosine_topk", oracle=_ANN_BRUTE_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against
     the full embedding table; double-precision sequential fold keeps the
@@ -492,9 +492,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_lsh_bucketed",
-    oracle=f"""
+_ANN_LSH_ORACLE = f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                FROM embeddings),
     be AS (SELECT vec_id, emb, {duck_tables_select("emb")} FROM e),
@@ -514,8 +512,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY sim DESC, neighbor_id) AS rn
       FROM sims
     ) WHERE rn <= 3
-    """,
-)
+    """
+
+
+@register("ann_lsh_bucketed", oracle=_ANN_LSH_ORACLE)
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH (4 tables x 8 bits):
     candidates = union of per-table bucket joins, then exact cosine +
@@ -1049,4 +1049,63 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = audio_window_stats(synthesize_wave(odds))
     return out.select(
         "doc_id", "window_idx", "n_samples", F.round("mean_amp", 6).alias("mean_amp")
+    )
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH brute AS (SELECT * FROM ({_ANN_BRUTE_ORACLE})),
+    lsh AS (SELECT * FROM ({_ANN_LSH_ORACLE})),
+    truth3 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM brute)
+      WHERE rn <= 3
+    ), hits AS (
+      SELECT t.q_id, COUNT(l.neighbor_id) AS n_hit
+      FROM truth3 t LEFT JOIN lsh l
+        ON l.q_id = t.q_id AND l.neighbor_id = t.neighbor_id
+      GROUP BY t.q_id
+    )
+    SELECT q_id, CAST(3 AS BIGINT) AS n_truth,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           ROUND(n_hit / 3.0, 6) AS recall_at_3
+    FROM hits
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class operator: recall@3 of
+    the sign-LSH retrieval against the exact brute-force ground truth,
+    per query — the standard way an embedding-store migration is
+    signed off at scale (run the eval on a sample, compare against the
+    target recall before switching the serving path). Both retrieval
+    pipelines are deterministic and SQL-expressible, so even the
+    evaluation METRIC is value-checked cross-engine."""
+    from pyspark.sql import Window
+
+    truth = ann_cosine_topk(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    truth3 = (
+        truth.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "neighbor_id")
+    )
+    lsh = ann_lsh_bucketed(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = (
+        truth3.join(lsh, ["q_id", "neighbor_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        truth3.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.lit(3).cast("long").alias("n_truth"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / 3.0, 6).alias("recall_at_3"),
+        )
     )
