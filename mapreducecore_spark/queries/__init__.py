@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     # Past the round-1 window size; still ahead of the long tail.
     "q8_market_share",
     "ann_recall_eval",
+    "dedup_savings_report",
     "events_stateful_counts",
     "scalar_date_funcs",
     "scalar_json_funcs",

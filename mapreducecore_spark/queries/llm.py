@@ -1109,3 +1109,50 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("n_hit", F.lit(0)) / 3.0, 6).alias("recall_at_3"),
         )
     )
+
+
+@register(
+    "dedup_savings_report",
+    oracle=f"""
+    WITH comp AS (SELECT * FROM ({_COMPONENTS_ORACLE})),
+    sizes AS (
+      SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    ),
+    n_docs AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT s.cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * (s.cluster_size - 1) AS BIGINT) AS removable_docs,
+           ROUND(CAST(COUNT(*) * (s.cluster_size - 1) AS DOUBLE)
+                 / (SELECT total FROM n_docs), 6) AS corpus_frac_removable
+    FROM sizes s GROUP BY s.cluster_size
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report a curation run ends with: near-dup cluster-size
+    histogram plus how much of the corpus each size class would remove
+    (keep one doc per cluster). Composes the components operator, so
+    the whole chain pairs -> groups -> business metric stays
+    value-checked; singleton docs never enter the pair graph and are
+    correctly absent (cluster_size >= 2 by construction)."""
+    from mapreducecore_spark.operators.components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    # Corpus size as a broadcast scalar subquery, not a driver count() —
+    # keeps the operator collect-free like every other registry entry.
+    total = t["documents"].agg(F.count("*").alias("_total"))
+    comps = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.count("*") * (F.col("cluster_size") - 1)).cast("long").alias(
+            "removable_docs"
+        ),
+    )
+    return hist.crossJoin(F.broadcast(total)).select(
+        "cluster_size",
+        "n_clusters",
+        "removable_docs",
+        F.round(F.col("removable_docs").cast("double") / F.col("_total"), 6).alias(
+            "corpus_frac_removable"
+        ),
+    )
