@@ -104,15 +104,20 @@ def main() -> None:
     # Re-time anything far above the median once and keep the min —
     # bounded extra cost, kills one-off noise in the recorded tail.
     ok = sorted(t for t in timings.values() if t >= 0)
+    retimed: dict[str, dict[str, float]] = {}
     if ok:
         median = ok[len(ok) // 2]
         cutoff = max(4.0, 4 * median)
         for name, t in list(timings.items()):
             if t > cutoff:
                 try:
-                    timings[name] = round(min(t, run_once(REGISTRY[name].fn)), 3)
+                    rerun = round(run_once(REGISTRY[name].fn), 3)
                 except Exception:
-                    pass
+                    continue
+                # Keep the record auditable: both values are published
+                # and the entry is flagged as re-timed.
+                timings[name] = min(t, rerun)
+                retimed[name] = {"original": t, "rerun": rerun}
 
     headline_total = sum(timings[n] for n in HEADLINE if timings.get(n, -1) >= 0)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -126,6 +131,7 @@ def main() -> None:
         "total_all_queries_sec": round(sum(t for t in timings.values() if t >= 0), 3),
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
+        "retimed": retimed,
     }
     # Full per-query map goes to a file; stdout gets a COMPACT line only
     # (headline breakdown, ~0.5 KB) so the driver's bounded tail capture
@@ -134,6 +140,7 @@ def main() -> None:
         json.dump(full, f, indent=1, sort_keys=True)
     compact = dict(full)
     compact["queries"] = {n: timings[n] for n in HEADLINE if n in timings}
+    compact["retimed"] = sorted(retimed)  # names only; values in BENCH_FULL.json
     print(json.dumps(compact))
 
 

@@ -14,7 +14,7 @@ Design rules for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducecore_spark.catalog import load_tables
@@ -105,6 +105,15 @@ def _mh_formula(h_expr: str, seed: int) -> str:
     )
 
 
+# Degenerate-bucket guard: a huge exact-dup cluster puts thousands of
+# docs into one (band_id, sig) bucket; an unguarded self-join emits
+# O(n^2) clique pairs there (the same failure class the simhash band
+# join hit at 10x data — llm/simhash.py:58). For buckets wider than
+# _MINHASH_MAX_BUCKET we emit STAR edges (bucket-min doc_id paired with
+# every other member) instead: O(n) edges, identical connected
+# components downstream (llm.py dedup_connected_components).
+_MINHASH_MAX_BUCKET = 200
+
 _MINHASH_ORACLE = f"""
     WITH docs AS (
       SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
@@ -122,10 +131,21 @@ _MINHASH_ORACLE = f"""
                unnest([{", ".join(str(b) for b in range(_MINHASH_SEEDS // 2))}]) AS band_id,
                unnest([{", ".join(f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR)" for b in range(_MINHASH_SEEDS // 2))}]) AS sig
         FROM mh)
+    ), banded AS (
+      SELECT doc_id, band_id, sig,
+             COUNT(*) OVER (PARTITION BY band_id, sig) AS bw,
+             MIN(doc_id) OVER (PARTITION BY band_id, sig) AS rep
+      FROM bands
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    SELECT DISTINCT doc_a, doc_b FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+      WHERE a.bw <= {_MINHASH_MAX_BUCKET}
+      UNION ALL
+      SELECT rep AS doc_a, doc_id AS doc_b FROM banded
+      WHERE bw > {_MINHASH_MAX_BUCKET} AND doc_id <> rep
+    )
 """
 
 
@@ -134,7 +154,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: 3-token shingles -> 8 md5
     minhashes -> 4 bands of 2 -> docs sharing any band signature.
     All JVM-side (higher-order functions); the band join is the only
-    shuffle that grows with candidate count, never a cross join."""
+    shuffle that grows with candidate count, never a cross join.
+
+    Buckets wider than _MINHASH_MAX_BUCKET (giant exact-dup clusters)
+    emit star edges (bucket representative x member) instead of the
+    O(n^2) clique — bounded fan-out, identical connected components;
+    only the explicit pair list differs inside oversized buckets, and
+    the DuckDB oracle mirrors the same rule."""
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
     sh = (
@@ -172,20 +198,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.sig")
-    # Materialize: both sides of the band self-join reuse the computed
-    # signatures instead of re-running the shingle+minhash stage.
-    bands = materialize(bands)
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_id", "sig"
+    # Bucket width + representative via one window pass (shuffle keyed
+    # on the same (band_id, sig) the self-join uses). Materialize: both
+    # join branches and the star branch reuse the computed signatures
+    # instead of re-running the shingle+minhash stage.
+    wb = Window.partitionBy("band_id", "sig")
+    banded = materialize(
+        bands.select(
+            "doc_id",
+            "band_id",
+            "sig",
+            F.count("*").over(wb).alias("bw"),
+            F.min("doc_id").over(wb).alias("rep"),
+        )
     )
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "sig")
-    return (
+    small = banded.filter(F.col("bw") <= _MINHASH_MAX_BUCKET)
+    a = small.select(F.col("doc_id").alias("doc_a"), "band_id", "sig")
+    b = small.select(F.col("doc_id").alias("doc_b"), "band_id", "sig")
+    clique = (
         a.join(b, ["band_id", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    star = banded.filter(
+        (F.col("bw") > _MINHASH_MAX_BUCKET) & (F.col("doc_id") != F.col("rep"))
+    ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return clique.unionByName(star).distinct()
 
+
+# Document-frequency cap for the inverted-index join: a shingle in d
+# docs emits d(d-1)/2 pairs, so one boilerplate 4-gram in 10k docs is
+# 5e7 pairs from that shingle alone — AQE skew-split spreads the tasks
+# but cannot shrink the pair count. Shingles with df > _JACCARD_DF_CAP
+# are dropped BEFORE the join (standard MinHash/Jaccard practice);
+# |A| and |B| stay exact, so the reported jaccard is a lower bound that
+# undercounts only mass from corpus-ubiquitous shingles. Oracle mirrors.
+_JACCARD_DF_CAP = 128
 
 _JACCARD_ORACLE = f"""
     WITH docs AS (
@@ -195,9 +243,14 @@ _JACCARD_ORACLE = f"""
       FROM docs WHERE len(toks) >= 4
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), rare AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+      ) WHERE df <= {_JACCARD_DF_CAP}
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT i.doc_a, i.doc_b,
@@ -215,17 +268,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted shingle index:
     join docs on shared 4-token shingle, count intersections, compute
     |A∩B| / (|A|+|B|-|A∩B|). The shingle join replaces the O(n²) cross
-    join; hot shingles are the skew risk -> AQE skew-join handles it."""
+    join; hot shingles (df > _JACCARD_DF_CAP) are dropped before the
+    join so no single shingle can emit a quadratic pair set — the df
+    window pass shuffles on the same `shingle` key the join uses."""
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
     sh = (
         docs.filter(F.expr("size(toks) >= 4"))
         .selectExpr("doc_id", f"explode({_shingles_expr(4)}) AS shingle")
     )
-    sh = materialize(sh)  # reused by sizes + both join branches
+    sh = materialize(sh)  # reused by sizes + df pass + both join branches
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ws = Window.partitionBy("shingle")
+    rare = (
+        sh.select("doc_id", "shingle", F.count("*").over(ws).alias("df"))
+        .filter(F.col("df") <= _JACCARD_DF_CAP)
+        .drop("df")
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -908,8 +969,8 @@ _GOPHER_ORACLE = f"""
     ), m AS (
       SELECT doc_id,
              len(toks) AS n_words,
-             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
-               AS n_tok_chars,
+             CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+               AS BIGINT) AS n_tok_chars,
              len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
                AS n_alpha,
              len(list_filter(toks, x -> list_contains([{{SW}}], x)))

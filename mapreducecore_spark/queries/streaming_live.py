@@ -274,12 +274,18 @@ def stream_live_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     contract the memory-sink entries can't test. Scratch dirs are
     per-call tempdirs (test plumbing; production points out_dir at the
     lake path and keeps the same checkpoint across runs)."""
+    import atexit
+    import shutil
     import tempfile
 
     from mapreducecore_spark.streaming.sinks import idempotent_parquet_sink
 
     ev = _event_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    # The returned DataFrame lazily reads from `tmp`, so removal must
+    # wait until the caller has consumed it — register process-exit
+    # cleanup instead of leaking a dir per invocation into /tmp.
     tmp = tempfile.mkdtemp(prefix="mrc_fb_sink_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     q = (
         idempotent_parquet_sink(ev, f"{tmp}/out", f"{tmp}/ckpt")
         .trigger(availableNow=True)

@@ -211,8 +211,12 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding join: candidate pairs sharing a 16-bit band,
-    with exact Hamming distance attached (<=3 guaranteed caught).
-    Value-checked against a full SQL re-derivation of the band join."""
+    with exact Hamming distance attached. hd<=3 pairs are caught by
+    pigeonhole EXCEPT in the documented degenerate-bucket refinement
+    case (llm/simhash.py:58-79: the pair's only flip-free band lands in
+    a >MAX_BUCKET bucket and a flip hits that band's refining
+    neighbor). Value-checked against a full SQL re-derivation of the
+    band join including the refinement rule."""
     from mapreducecore_spark.llm.simhash import add_simhash, simhash_band_pairs
 
     t = load_tables(spark, sf_dir)

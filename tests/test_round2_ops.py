@@ -61,7 +61,7 @@ def test_audio_window_stats_matches_numpy(spark):
     assert len(got) == sum((len(s) + 99) // 100 for s in samples.values())
 
 
-def _brute_pairs(hashes: dict[int, int], refined: set[tuple[int, int]]):
+def _brute_pairs(hashes: dict[int, int]):
     """Reference pair set: for each band, docs sharing the 16-bit chunk
     pair up; if (band, chunk) is wide (>200), additionally require the
     next band's chunk to agree."""
@@ -85,8 +85,6 @@ def _brute_pairs(hashes: dict[int, int], refined: set[tuple[int, int]]):
 
 
 def test_simhash_degenerate_bucket_guard(spark):
-    from pyspark.sql import functions as F
-
     from mapreducecore_spark.llm.simhash import simhash_band_pairs
 
     rng = np.random.RandomState(5)
@@ -112,7 +110,7 @@ def test_simhash_degenerate_bucket_guard(spark):
     }
     signed = {i: h - (1 << 64) if h >= 1 << 63 else h for i, h in hashes.items()}
     unsigned = {i: h & ((1 << 64) - 1) for i, h in signed.items()}
-    expect = _brute_pairs(unsigned, set())
+    expect = _brute_pairs(unsigned)
     assert got == expect
     assert (300, 301) in got  # survives the wide-bucket refinement
     assert (400, 401) in got  # narrow bucket needs only one band

@@ -1,0 +1,123 @@
+"""Round-3 scale-guard tests: degenerate-bucket star edges in the
+MinHash band join and the document-frequency cap in the Jaccard
+inverted-index join. Each builds an ADVERSARIAL corpus (a giant
+exact-dup cluster / a corpus-ubiquitous shingle) in a temp sf_dir and
+checks (a) the emitted pair set is the bounded one, (b) the DuckDB
+oracle agrees on the same corpus — so the guard is oracle-mirrored,
+not just implemented."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mapreducecore_spark.queries import REGISTRY, _load_all
+
+_load_all()
+
+_REAL_SF = "/root/testdata/sf0.001"
+
+
+def _write_sf_dir(tmp_path, docs: list[tuple[int, str]]) -> str:
+    """Temp sf_dir: custom documents table, other tables symlinked from
+    the real sf0.001 so load_tables() finds all ten."""
+    d = str(tmp_path)
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        os.symlink(os.path.join(_REAL_SF, f"{name}.parquet"), os.path.join(d, f"{name}.parquet"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["test"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _oracle_rows(sf_dir: str, sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        rel = con.sql(sql)
+        return rel.columns, rel.fetchall()
+    finally:
+        con.close()
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else repr(round(v, 9)))
+            else:
+                vals.append("NULL" if v is None else str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def _assert_oracle_parity(name: str, spark, sf_dir: str):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    d_cols, d_rows = _oracle_rows(sf_dir, spec.oracle)
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert _norm(s_rows, sdf.columns) == _norm(d_rows, d_cols), name
+    return s_rows, sdf.columns
+
+
+def test_minhash_star_guard_bounds_giant_dup_cluster(spark, tmp_path):
+    """300 byte-identical docs (every band bucket width 300 > cap 200)
+    must yield 299 star edges, not the 44,850-edge clique; a narrow
+    2-doc bucket still gets its clique pair. Components are unchanged
+    by the star substitution."""
+    cluster = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(300)]
+    pair = [(500, "one two three four five six seven"), (501, "one two three four five six seven")]
+    sf = _write_sf_dir(tmp_path, cluster + pair)
+
+    rows, cols = _assert_oracle_parity("dedup_minhash_lsh", spark, sf)
+    got = {(r[cols.index("doc_a")], r[cols.index("doc_b")]) for r in rows}
+    assert got == {(0, j) for j in range(1, 300)} | {(500, 501)}
+
+    from mapreducecore_spark.operators.components import connected_components
+
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            REGISTRY["dedup_minhash_lsh"].fn(spark, sf)
+        ).collect()
+    }
+    assert {comp[i] for i in range(300)} == {0}
+    assert comp[500] == comp[501] == 500
+
+
+def test_jaccard_df_cap_drops_ubiquitous_shingle(spark, tmp_path):
+    """140 docs share six common tokens (3 shingles with df=140 > cap
+    128): uncapped that is 9,730 pairs at jaccard 0.6; the df-cap must
+    drop them all while a rare identical pair still scores 1.0."""
+    hot = [(i, f"c1 c2 c3 c4 c5 c6 unique{i}") for i in range(140)]
+    rare = [(900, "r1 r2 r3 r4 r5 r6 r7"), (901, "r1 r2 r3 r4 r5 r6 r7")]
+    sf = _write_sf_dir(tmp_path, hot + rare)
+
+    rows, cols = _assert_oracle_parity("dedup_ngram_jaccard", spark, sf)
+    got = {
+        (r[cols.index("doc_a")], r[cols.index("doc_b")]): r[cols.index("jaccard")]
+        for r in rows
+    }
+    assert got == {(900, 901): pytest.approx(1.0)}
