@@ -747,6 +747,150 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_TRAIN_ITERS = 2
+
+
+def _ivf_train_oracle(iters: int) -> str:
+    """DuckDB mirror of the Lloyd chain: each iteration is an
+    assign-then-mean CTE pair. Means are DECIMAL(38,20) sums divided by
+    counts — exact and order-independent, so the centroid doubles are
+    bit-identical across engines."""
+    cos_ac = _COS_DUCK.format(a="e.emb", b="c.c_emb")
+    blocks = []
+    for k in range(iters):
+        blocks.append(f"""
+    a{k} AS (
+      SELECT e.vec_id, e.emb, c.c_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND({cos_ac}, 6) DESC, c.c_id) AS rn
+      FROM e CROSS JOIN c{k} c
+    ),
+    m{k} AS (SELECT vec_id, emb, c_id AS cell FROM a{k} WHERE rn = 1),
+    u{k} AS (
+      SELECT cell, i, emb[i] AS val FROM (
+        SELECT cell, emb, unnest(generate_series(1, len(emb))) AS i FROM m{k})
+    ),
+    c{k + 1} AS (
+      SELECT cell AS c_id, list(cv ORDER BY i) AS c_emb FROM (
+        SELECT cell, i,
+               CAST(SUM(CAST(val AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS cv
+        FROM u{k} GROUP BY cell, i)
+      GROUP BY cell
+    )""")
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 16),
+    {",".join(blocks)},
+    af AS (
+      SELECT e.vec_id, c.c_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND({cos_ac}, 6) DESC, c.c_id) AS rn
+      FROM e CROSS JOIN c{iters} c
+    ),
+    cells  AS (SELECT vec_id, c_id AS cell FROM af WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, c_id AS cell FROM af
+               WHERE vec_id < 8 AND rn <= 2),
+    cand AS (
+      SELECT DISTINCT p.q_id, m.vec_id AS neighbor_id
+      FROM probes p JOIN cells m ON m.cell = p.cell
+      WHERE m.vec_id <> p.q_id
+    ),
+    sims AS (
+      SELECT cand.q_id, cand.neighbor_id,
+             ROUND({_COS_DUCK.format(a="qe.emb", b="ne.emb")}, 6) AS sim
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.q_id
+      JOIN e ne ON ne.vec_id = cand.neighbor_id
+    )
+    SELECT q_id, neighbor_id, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """
+
+
+@register("ann_ivf_trained", oracle=_ivf_train_oracle(_IVF_TRAIN_ITERS))
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids: start from the deterministic seed
+    codebook (16 lowest vec_ids) and run _IVF_TRAIN_ITERS Lloyd
+    iterations — assign every vector to its max-cosine centroid, then
+    recompute each centroid as the member mean — before the same
+    nprobe=2 cell-pruned search as ann_ivf_coarse. The 100 TB shape per
+    iteration: assignment is a map-side broadcast of a constant-size
+    codebook; the mean is one (cell, dim) aggregation (map-side
+    partial); each round is materialized so the lineage stays flat
+    (same discipline as operators/components.py). Means go through
+    DECIMAL(38,20) so centroids are bit-identical across engines;
+    empty cells drop out of the codebook naturally. Training
+    monotonically improves the quantization objective (mean assignment
+    cosine 0.245 -> 0.324 after 2 iters at sf0.01; asserted against an
+    independent numpy Lloyd reference in tests/test_round3_ops.py).
+    Note the seeded codebook's recall@5 is query-biased upward (the
+    queries ARE seeds), so at fixed nprobe trained recall reads lower;
+    production tunes recall via nprobe while the trained codebook
+    balances cell sizes."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    e = spread(t["embeddings"]).selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    e = materialize(e)
+    cents = e.filter(F.col("vec_id") < 16).selectExpr("vec_id AS c_id", "emb AS c_emb")
+    cos_assign = _COS_SPARK.format(a="emb", b="c_emb")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "c_id")
+    for _ in range(_IVF_TRAIN_ITERS):
+        members = (
+            e.crossJoin(F.broadcast(cents))
+            .selectExpr("vec_id", "emb", "c_id", f"ROUND({cos_assign}, 6) AS sim")
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select(F.col("c_id").alias("cell"), F.posexplode("emb").alias("pos", "val"))
+        )
+        dims = members.groupBy("cell", "pos").agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,20)")).cast("double") / F.count("*")
+            ).alias("cv")
+        )
+        cents = materialize(
+            dims.groupBy("cell").agg(
+                F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").alias(
+                    "c_emb"
+                )
+            ).select(F.col("cell").alias("c_id"), "c_emb")
+        )
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .selectExpr("vec_id", "c_id", f"ROUND({cos_assign}, 6) AS sim")
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assign = materialize(assign.filter(F.col("rn") <= 2).select("vec_id", "c_id", "rn"))
+    cells = assign.filter(F.col("rn") == 1).selectExpr("vec_id", "c_id AS cell")
+    probes = assign.filter(F.col("vec_id") < 8).selectExpr("vec_id AS q_id", "c_id AS cell")
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = e.filter(F.col("vec_id") < 8).selectExpr("vec_id AS q_id", "emb AS q_emb")
+    ne = e.selectExpr("vec_id AS neighbor_id", "emb AS n_emb")
+    cos = _COS_SPARK.format(a="q_emb", b="n_emb")
+    sims = (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(ne, "neighbor_id")
+        .selectExpr("q_id", "neighbor_id", f"ROUND({cos}, 6) AS sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "neighbor_id", "sim")
+    )
+
+
 # ------------------------------------------------------------ multimodal
 
 @register(

@@ -301,3 +301,87 @@ def stream_live_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "stream_live_enrich_static",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_live_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment LIVE: each micro-batch of the event
+    stream joins against the (batch) customer dimension — Spark
+    re-plans per batch, so the small dim side is broadcast and the
+    stream side never shuffles for the join — then aggregates per
+    market segment in streaming state (complete mode). Oracle is the
+    batch join+GROUP BY; stream-equals-batch through a stream-static
+    join is the property under test (streaming/windows.py
+    enrich_with_static)."""
+    from mapreducecore_spark.catalog import load_tables
+    from mapreducecore_spark.streaming.windows import enrich_with_static
+
+    dim = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ev = _event_stream(spark, sf_dir).select("user_id", "value")
+    out = (
+        enrich_with_static(ev, F.broadcast(dim), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return _drain(out, spark)
+
+
+@register(
+    "stream_live_interval_join",
+    oracle="""
+    SELECT l.event_id AS l_id, r.event_id AS r_id,
+           l.user_id AS user_id, r.event_type AS r_type,
+           epoch_us(r.ts) - epoch_us(l.ts) AS lag_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER interval join LIVE: even-id events pair with
+    odd-id events of the same user within [l.ts, l.ts + 30 min]. Both
+    sides carry a 10-minute watermark so the join state store evicts
+    rows once the event-time bound can no longer match (without the
+    range condition stream-stream join state grows forever —
+    streaming/windows.py interval_join_streams). Inner-join matches are
+    emitted as they form, so the availableNow drain equals the batch
+    interval join, which is exactly what the oracle checks. lag_us is a
+    timestamp DIFFERENCE, so it is timezone-shift-invariant and safe to
+    hash across engines."""
+    from mapreducecore_spark.streaming.windows import interval_join_streams
+
+    def half(parity: int) -> DataFrame:
+        return (
+            _event_stream(spark, sf_dir)
+            .filter(F.col("event_id") % 2 == parity)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    joined = interval_join_streams(
+        half(0), half(1), watermark="10 minutes", join_horizon="30 minutes"
+    )
+    out = joined.select(
+        "l_id",
+        "r_id",
+        F.col("l_user").alias("user_id"),
+        "r_type",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+    )
+    return _drain(out, spark, mode="append")

@@ -121,3 +121,49 @@ def test_jaccard_df_cap_drops_ubiquitous_shingle(spark, tmp_path):
         for r in rows
     }
     assert got == {(900, 901): pytest.approx(1.0)}
+
+
+def _np_lloyd_objective(sf: str, iters: int):
+    """Independent numpy Lloyd reference: mean max-cosine of every
+    vector to its assigned centroid after `iters` iterations from the
+    deterministic vec_id<16 seed codebook."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+    ids = tbl["vec_id"].to_pylist()
+    embs = [np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()]
+    V = dict(zip(ids, embs))
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    cents = {i: V[i] for i in sorted(V) if i < 16}
+    for _ in range(iters):
+        assign = {v: max(cents, key=lambda c: (cos(V[v], cents[c]), -c)) for v in V}
+        cents = {
+            c: np.mean([V[v] for v in V if assign[v] == c], axis=0)
+            for c in set(assign.values())
+        }
+    return float(np.mean([max(cos(v, c) for c in cents.values()) for v in V.values()]))
+
+
+def test_ivf_training_improves_quantization_objective(spark, sf_dir):
+    """The Lloyd chain must do what k-means promises: each trained
+    codebook quantizes the corpus better than the seed. Recall at fixed
+    nprobe is floor-asserted only — the seed codebook contains the
+    query vectors themselves, so its recall@5 is biased upward."""
+    o0 = _np_lloyd_objective(sf_dir, 0)
+    o2 = _np_lloyd_objective(sf_dir, 2)
+    assert o2 > o0 + 0.01
+
+    truth = {
+        (r.q_id, r.neighbor_id)
+        for r in REGISTRY["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    trained = {
+        (r.q_id, r.neighbor_id)
+        for r in REGISTRY["ann_ivf_trained"].fn(spark, sf_dir).collect()
+    }
+    assert len({q for q, _ in trained}) == 8  # every query retrieves
+    assert len(trained & truth) / len(truth) >= 0.75
