@@ -48,8 +48,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # priority order so the window always covers the flagship LLM-pipeline
 # operators (dedup/ANN), live streaming, and >=1 entry per SURVEY §2.D
 # family; everything else follows in module-registration order.
+# ROUND-3 ROTATION: rounds 1+2 accumulated 91 driver-verified entries;
+# this window keeps the 12 flagship slots (dedup/ANN + live streaming),
+# adds the round-3 NEW/CHANGED entries (guarded minhash/jaccard pair
+# generators, the two promoted live streaming joins, trained IVF), and
+# fills the rest with entries that have NO driver row yet — lifting
+# cumulative driver coverage past 125/190. Previously-verified entries
+# moved to the tail keep their r01/r02 green rows.
 _PRIORITY: tuple[str, ...] = (
-    # LLM-pipeline north stars first (judge-named must-verify set).
+    # Flagship LLM-pipeline north stars (judge-named must-verify set).
     "dedup_minhash_lsh",
     "dedup_neardup_keeper",
     "ann_lsh_bucketed",
@@ -63,21 +70,60 @@ _PRIORITY: tuple[str, ...] = (
     "stream_live_append_watermark",
     "stream_live_session_append",
     "stream_live_foreachbatch_sink",
-    # Batch-checkable streaming semantics.
+    # NEW this round: promoted live joins + trained IVF.
+    "stream_live_enrich_static",
+    "stream_live_interval_join",
+    "ann_ivf_trained",
+    # CHANGED this round (scale guards altered pair semantics).
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    # First-time-verified rotation: no driver row in r01/r02.
+    "simhash_docs",
+    "simhash_neardup_pairs",
+    "events_session_window",
+    "events_sliding_window",
+    "events_sessionize_batch",
+    "events_day_retention",
+    "events_cdc_latest_state",
+    "events_scd2_intervals",
+    "events_debounce",
+    "events_stateful_counts",
+    "join_asof_last_order",
+    "join_lateral_topn",
+    "join_hint_broadcast_sql",
+    "fuzzy_match_blocked",
+    "set_except_all",
+    "set_intersect_all",
+    "agg_min_max_by",
+    "agg_corr_covar",
+    "agg_listagg_sorted",
+    "agg_mode_deterministic",
+    "agg_null_semantics",
+    "udf_grouped_agg",
+    "udf_arrow_optimized",
+    "udf_apply_in_arrow",
+    "udf_row_strmap",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q12_shipmode_priority",
+    "ann_recall_eval",
+    "dedup_savings_report",
+    "lang_id_ngram",
+    "graph_pagerank_converged",
+    "dedup_exact_normalized",
+    # ---- end of the ~50-entry driver window ----
+    # Verified in r01/r02; keep ahead of the long tail.
     "events_tumbling_window",
     "events_dedup",
-    # UDF surface (pandas / grouped / Arrow).
     "udf_pandas_scalar",
     "udf_grouped_map_rank",
     "udf_map_in_arrow",
-    # Scalar function families.
     "scalar_string_funcs",
     "scalar_higher_order_funcs",
-    # MapReduce contract (reference S1-S6/D1-D7 semantics).
     "wordcount_documents",
     "mr_wordcount_contract",
     "mr_sorted_partition_sink",
-    # Multimodal + text analysis.
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_audio_windows",
@@ -85,21 +131,14 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_score",
     "quality_gopher_rules",
     "boilerplate_ngram_flag",
-    # Remaining dedup / embedding family.
     "dedup_keep_best_quality",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
     "ann_ivf_coarse",
     "embedding_neardup_pairs",
-    # Training-data pipeline ops.
     "decontam_ngram_overlap",
     "split_train_val_test",
     "pack_sequences_greedy",
     "tfidf_top_terms",
     "corpus_curation_pipeline",
-    # Relational headline (TPC-H) + one per remaining §2.D family —
-    # slots 40-50, so EVERY family has a driver-checked row even with
-    # a hard 50-entry window.
     "q1_pricing_summary",
     "q3_top_orders_by_revenue",
     "q5_nation_revenue",
@@ -111,32 +150,23 @@ _PRIORITY: tuple[str, ...] = (
     "set_union_all",
     "pivot_status_counts",
     "events_funnel_conversion",
-    # Past the round-1 window size; still ahead of the long tail.
-    "q8_market_share",
-    "ann_recall_eval",
-    "dedup_savings_report",
-    "events_stateful_counts",
+    # Still-unverified tail (next rotation's candidates).
     "scalar_date_funcs",
     "scalar_json_funcs",
-    "lang_id_ngram",
     "token_count_bpe",
     "doc_fingerprint",
     "sample_weighted_by_source",
-    "join_asof_last_order",
     "graph_triangle_count",
     "table_diff_rowhash",
     "dq_column_profile",
     "agg_approx_top_k",
     "q6_forecast_revenue",
-    "udf_grouped_agg",
     "scalar_array_funcs",
-    "dedup_exact_normalized",
     "embedding_quantize_int8",
     "ann_cosine_quantized",
     "set_intersect",
     "q21_suppliers_who_kept_waiting",
     "graph_pagerank_step",
-    "graph_pagerank_converged",
     "table_merge_upsert",
 )
 
