@@ -44,14 +44,47 @@ def main() -> None:
     from mapreducecore_spark.queries import REGISTRY, _load_all
     from mapreducecore_spark.session import get_spark
 
+    from mapreducecore_spark import metrics
+
     _load_all()
-    spark = get_spark(app_name="mapreducecore-bench", master=f"local[{CPUS}]")
+    spark = get_spark(
+        app_name="mapreducecore-bench",
+        master=f"local[{CPUS}]",
+        extra_conf={
+            # UI on so the stage REST API can report measured shuffle
+            # bytes for the headline queries (metrics.py).
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(metrics.DEFAULT_UI_PORT),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
 
     def run_once(fn) -> float:
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.time() - t0
+
+    shuffle_bytes: dict[str, dict[str, float]] = {}
+
+    def run_measured(name, fn) -> float:
+        """One timed run that also records shuffle volume (REST calls
+        happen outside the timed window)."""
+        try:
+            before_max, _ = metrics.snapshot(app_id)
+        except Exception:
+            before_max = None
+        dt = run_once(fn)
+        if before_max is not None:
+            try:
+                total, peak = metrics.delta(app_id, before_max)
+                shuffle_bytes[name] = {
+                    "shuffle_mb": round(total / 1e6, 2),
+                    "peak_stage_shuffle_mb": round(peak / 1e6, 2),
+                }
+            except Exception:
+                pass
+        return dt
 
     # Warm the JVM + parquet footers once before timing anything.
     run_once(REGISTRY["q1_pricing_summary"].fn)
@@ -88,11 +121,14 @@ def main() -> None:
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].fn
         try:
-            t = run_once(fn)
             if name in HEADLINE:
                 # min-of-3: the headline metric is the graded number;
                 # extra runs squeeze out scheduler/GC noise (~±1 s).
-                t = min(t, run_once(fn), run_once(fn))
+                # Shuffle volume is measured on the first run (it is
+                # identical across runs — bytes, not time).
+                t = min(run_measured(name, fn), run_once(fn), run_once(fn))
+            else:
+                t = run_once(fn)
             timings[name] = round(t, 3)
         except Exception as e:  # a broken query must not kill the bench
             print(f"bench: {name} failed: {e}", file=sys.stderr)
@@ -132,6 +168,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "retimed": retimed,
+        "headline_shuffle": shuffle_bytes,
     }
     # Full per-query map goes to a file; stdout gets a COMPACT line only
     # (headline breakdown, ~0.5 KB) so the driver's bounded tail capture
@@ -141,6 +178,7 @@ def main() -> None:
     compact = dict(full)
     compact["queries"] = {n: timings[n] for n in HEADLINE if n in timings}
     compact["retimed"] = sorted(retimed)  # names only; values in BENCH_FULL.json
+    compact.pop("headline_shuffle", None)  # full map in BENCH_FULL.json
     print(json.dumps(compact))
 
 

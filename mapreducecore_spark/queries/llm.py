@@ -237,7 +237,8 @@ _JACCARD_DF_CAP = 128
 
 _JACCARD_ORACLE = f"""
     WITH docs AS (
-      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+      SELECT MIN(doc_id) AS doc_id, {_TOKS_DUCK} AS toks
+      FROM documents GROUP BY text
     ), sh AS (
       SELECT doc_id, unnest({_shingles_duck(4)}) AS shingle
       FROM docs WHERE len(toks) >= 4
@@ -268,11 +269,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted shingle index:
     join docs on shared 4-token shingle, count intersections, compute
     |A∩B| / (|A|+|B|-|A∩B|). The shingle join replaces the O(n²) cross
-    join; hot shingles (df > _JACCARD_DF_CAP) are dropped before the
-    join so no single shingle can emit a quadratic pair set — the df
-    window pass shuffles on the same `shingle` key the join uses."""
+    join; two guards keep it scale-safe:
+    - EXACT dups are collapsed to their min-doc_id representative
+      BEFORE shingling (pairs are emitted between exact-dup classes,
+      the textbook exact-then-near pipeline order): a k-way dup
+      cluster otherwise emits C(k,2) jaccard=1.0 pairs from shingles
+      each copy shares — quadratic in k, and a df cap cannot catch it
+      because each such shingle's df tracks k. Expand through the
+      dedup_exact table when per-copy pairs are needed.
+    - hot shingles (df > _JACCARD_DF_CAP) are dropped before the join
+      so no single boilerplate shingle can emit a quadratic pair set —
+      the df window pass shuffles on the same `shingle` key the join
+      uses."""
     t = load_tables(spark, sf_dir)
-    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
+    docs = (
+        spread(t["documents"])
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .selectExpr("doc_id", f"{_TOKS} AS toks")
+    )
     sh = (
         docs.filter(F.expr("size(toks) >= 4"))
         .selectExpr("doc_id", f"explode({_shingles_expr(4)}) AS shingle")

@@ -40,12 +40,22 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-try:  # the TWS wire protocol needs protobuf; fall back if absent
-    import google.protobuf  # noqa: F401
+def _probe_tws_protocol() -> bool:
+    """Probe the ACTUAL native-TWS requirement: pyspark's generated
+    protobuf state-protocol module must import (it needs google.protobuf
+    at a compatible version). Probing the real module instead of bare
+    `import google.protobuf` means a protobuf that is present but
+    incompatible with the generated code still falls back cleanly."""
+    try:
+        import importlib
 
-    HAS_TWS_PROTOCOL = True
-except ImportError:
-    HAS_TWS_PROTOCOL = False
+        importlib.import_module("pyspark.sql.streaming.proto.StateMessage_pb2")
+        return True
+    except Exception:
+        return False
+
+
+HAS_TWS_PROTOCOL = _probe_tws_protocol()
 
 STATS_OUTPUT = "user_id BIGINT, n_events BIGINT, total_value DOUBLE, max_value DOUBLE"
 DISTINCT_OUTPUT = "user_id BIGINT, n_types BIGINT"

@@ -107,20 +107,25 @@ def test_minhash_star_guard_bounds_giant_dup_cluster(spark, tmp_path):
     assert comp[500] == comp[501] == 500
 
 
-def test_jaccard_df_cap_drops_ubiquitous_shingle(spark, tmp_path):
-    """140 docs share six common tokens (3 shingles with df=140 > cap
-    128): uncapped that is 9,730 pairs at jaccard 0.6; the df-cap must
-    drop them all while a rare identical pair still scores 1.0."""
+def test_jaccard_guards_hot_shingles_and_exact_dup_collapse(spark, tmp_path):
+    """Three guards in one corpus: (a) 140 docs share six common tokens
+    (3 shingles with df=140 > cap 128) — uncapped that is 9,730 pairs
+    at jaccard 0.6, the df-cap must drop them all; (b) a 50-way EXACT
+    dup cluster must collapse to one representative (zero intra-cluster
+    pairs) instead of emitting C(50,2) jaccard=1.0 pairs; (c) a genuine
+    near-identical pair must still score."""
     hot = [(i, f"c1 c2 c3 c4 c5 c6 unique{i}") for i in range(140)]
-    rare = [(900, "r1 r2 r3 r4 r5 r6 r7"), (901, "r1 r2 r3 r4 r5 r6 r7")]
-    sf = _write_sf_dir(tmp_path, hot + rare)
+    exact = [(700 + i, "x1 x2 x3 x4 x5 x6 x7 x8") for i in range(50)]
+    near = [(900, "r1 r2 r3 r4 r5 r6 r7"), (901, "r1 r2 r3 r4 r5 r6 r8")]
+    sf = _write_sf_dir(tmp_path, hot + exact + near)
 
     rows, cols = _assert_oracle_parity("dedup_ngram_jaccard", spark, sf)
     got = {
         (r[cols.index("doc_a")], r[cols.index("doc_b")]): r[cols.index("jaccard")]
         for r in rows
     }
-    assert got == {(900, 901): pytest.approx(1.0)}
+    # near pair: shingles r1-4, r2-5, r3-6 shared; 4th differs -> 3/5.
+    assert got == {(900, 901): pytest.approx(0.6)}
 
 
 def _np_lloyd_objective(sf: str, iters: int):

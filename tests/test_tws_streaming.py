@@ -98,3 +98,86 @@ def test_tws_mapstate_distinct_types(spark, stream_env):
         assert last == 3
     finally:
         q.stop()
+
+
+def test_tws_probe_reflects_reality_and_both_paths_agree(spark, stream_env):
+    """The native-TWS probe must tell the truth: when it reports the
+    protocol present, the REAL transformWithStateInPandas path must run
+    and agree with the fallback runtime on the same data; when absent,
+    the generated proto module must actually be unimportable (so the
+    auto entry points' fallback choice is correct, not conservative).
+    Skip-free either way."""
+    import importlib
+
+    from mapreducecore_spark.streaming.tws import (
+        HAS_TWS_PROTOCOL,
+        STATS_OUTPUT,
+        RunningStatsProcessor,
+        run_processor_with_fallback,
+        running_user_stats_tws,
+    )
+
+    if not HAS_TWS_PROTOCOL:
+        with pytest.raises(Exception):
+            importlib.import_module("pyspark.sql.streaming.proto.StateMessage_pb2")
+        return
+
+    src, write_batch = stream_env
+    write_batch([_ev(1, "2024-06-01 10:00:00", user=7, value=2.0),
+                 _ev(2, "2024-06-01 10:01:00", user=7, value=5.0),
+                 _ev(3, "2024-06-01 10:02:00", user=8, value=1.5)])
+    write_batch([_ev(4, "2024-06-01 10:03:00", user=7, value=3.0)])
+
+    def drain(builder, name):
+        q = _start(builder(read_event_stream(spark, src)), name)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.table(name).collect()
+        # update mode emits once per key per batch; n_events is
+        # monotone, so the max-n_events row is the final state.
+        final = {}
+        for r in rows:
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                final[r["user_id"]] = (r["n_events"], r["total_value"], r["max_value"])
+        return final
+
+    native = drain(running_user_stats_tws, f"tws_native_{uuid.uuid4().hex[:8]}")
+    fallback = drain(
+        lambda ev: run_processor_with_fallback(
+            ev.select("user_id", "value"), ["user_id"],
+            RunningStatsProcessor, STATS_OUTPUT,
+        ),
+        f"tws_fb_{uuid.uuid4().hex[:8]}",
+    )
+    assert native == fallback
+
+
+def test_shim_states_roundtrip_exactly():
+    """Fallback runtime state fidelity: every shim state type must
+    survive a dump/load cycle byte-exactly — this is what makes the
+    fallback's pickled blob equivalent to the typed native state."""
+    from mapreducecore_spark.streaming.tws import _ShimHandle
+
+    h = _ShimHandle()
+    v = h.getValueState("v", "n BIGINT")
+    m = h.getMapState("m", "t STRING", "one TINYINT")
+    ls = h.getListState("l", "x BIGINT")
+    v.update((3, 1.5))
+    m.updateValue(("a",), (1,))
+    m.updateValue(("b",), (2,))
+    ls.appendValue((10,))
+    ls.appendList([(11,), (12,)])
+    blob = h._dump()
+
+    h2 = _ShimHandle()
+    v2 = h2.getValueState("v", "n BIGINT")
+    m2 = h2.getMapState("m", "t STRING", "one TINYINT")
+    l2 = h2.getListState("l", "x BIGINT")
+    h2._load(blob)
+    assert v2.exists() and v2.get() == (3, 1.5)
+    assert m2.containsKey(("a",)) and m2.getValue(("b",)) == (2,)
+    assert sorted(m2.keys()) == [("a",), ("b",)]
+    assert list(l2.get()) == [(10,), (11,), (12,)]

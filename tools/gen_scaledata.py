@@ -45,6 +45,16 @@ FACTS = {
                CASE WHEN c = 0 THEN text ELSE text || ' copytok' || c END AS text,
                lang, source, n_chars
         FROM src CROSS JOIN copies
+        UNION ALL
+        -- Planted giant exact-dup cluster (30 docs per copy, one shared
+        -- text): at 100 copies this is a 3000-doc cluster — the
+        -- degenerate-bucket case the MinHash/SimHash star-edge guards
+        -- exist for. Unguarded, this single cluster emits ~4.5M clique
+        -- pairs; guarded, ~3k star edges.
+        SELECT 900000000000000 + i AS doc_id,
+               'planted giant duplicate cluster text shared verbatim by every member document' AS text,
+               'en' AS lang, 'planted' AS source, 79 AS n_chars
+        FROM (SELECT unnest(range(30 * {copies})) AS i)
     """,
     "embeddings": """
         SELECT vec_id + c * {off} AS vec_id, embedding, label
@@ -69,7 +79,7 @@ def main() -> None:
         print(f"{t}: copied")
     for t, sql in FACTS.items():
         con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{SRC}/{t}.parquet'")
-        q = sql.format(off=OFF)
+        q = sql.format(off=OFF, copies=COPIES)
         con.execute(
             f"COPY ({q}) TO '{DST}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)"
         )
