@@ -252,3 +252,35 @@ def test_boilerplate_partial_aggregates_at_shingle_grain(spark, sf_dir):
     plan = plan_of(REGISTRY["boilerplate_ngram_flag"].fn(spark, sf_dir))
     assert plan.count("HashAggregate") >= 4  # partial+final x 2 aggs
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_trained_broadcasts_codebook_every_iteration(spark, sf_dir):
+    """Every Lloyd assignment pass must broadcast the constant-size
+    codebook against the embedding scan — a shuffled join here would
+    re-exchange the full corpus once per iteration."""
+    plan = plan_of(REGISTRY["ann_ivf_trained"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_band_join_is_equijoin_on_band_key(spark, sf_dir):
+    """The guarded band self-join must stay an EQUI-join keyed on
+    (band_id, sig) — never a cartesian fallback. (The bucket-stat
+    window pass runs before the localCheckpoint that feeds both join
+    branches, so it is not visible in this plan; its output columns
+    bw/rep are.) At test SF the tiny checkpointed side may broadcast;
+    at scale the same equi-join shuffles on the band key."""
+    plan = plan_of(REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+    assert "band_id" in plan and "sig" in plan
+
+
+def test_jaccard_df_cap_window_precedes_join(spark, sf_dir):
+    """The df-cap window keys on `shingle` — the same key the
+    inverted-index equi-join uses — and the join is never cartesian."""
+    plan = plan_of(REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "Join" in plan
+    assert "shingle" in plan
