@@ -321,6 +321,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_DEDUP_RECALL_ORACLE = f"""
+    WITH truth AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})),
+    cand AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+    hit AS (
+      SELECT t.doc_a, t.doc_b FROM truth t
+      JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+           ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / GREATEST((SELECT COUNT(*) FROM truth), 1), 6) AS recall
+"""
+
+
+@register("dedup_candidate_recall", oracle=_DEDUP_RECALL_ORACLE)
+def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator quality as a first-class operator (the dedup
+    twin of ann_recall_eval): recall of the MinHash-LSH candidate pairs
+    against the exact Jaccard>=0.4 truth set — how a production
+    pipeline signs off LSH band/row parameters before trusting them at
+    scale. Honestly reflects the star-edge guard's trade: member-member
+    pairs inside oversized buckets count against recall. Both pair sets
+    are deterministic and SQL-expressible, so the METRIC itself is
+    value-checked cross-engine."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    truth = materialize(truth)
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return (
+        truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").cast("bigint").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").cast("bigint").alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.greatest("n_truth", F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
+
+
 _COMPONENTS_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
     edges AS (
