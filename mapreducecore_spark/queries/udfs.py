@@ -189,11 +189,15 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + _SIMHASH_ORACLE_CTE
     + """
-    , banded0 AS (
+    , reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ), simr AS (
+      SELECT s.doc_id, s.usim FROM sim s JOIN reps r ON r.doc_id = s.doc_id
+    ), banded0 AS (
       SELECT doc_id, usim, b.band AS band,
              (usim >> (16*b.band)::INTEGER) & 65535 AS chunk,
              (usim >> (16*((b.band+1)%4))::INTEGER) & 65535 AS chunk2
-      FROM sim CROSS JOIN (SELECT unnest(range(0,4)) AS band) b
+      FROM simr CROSS JOIN (SELECT unnest(range(0,4)) AS band) b
     ), widths AS (
       SELECT band, chunk, COUNT(*) AS w FROM banded0 GROUP BY band, chunk
     ), banded AS (
@@ -211,17 +215,23 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding join: candidate pairs sharing a 16-bit band,
-    with exact Hamming distance attached. hd<=3 pairs are caught by
-    pigeonhole EXCEPT in the documented degenerate-bucket refinement
-    case (llm/simhash.py:58-79: the pair's only flip-free band lands in
-    a >MAX_BUCKET bucket and a flip hits that band's refining
-    neighbor). Value-checked against a full SQL re-derivation of the
-    band join including the refinement rule."""
+    with exact Hamming distance attached. EXACT dups are collapsed to
+    their min-doc_id representative before hashing (identical texts
+    have identical simhashes, so a k-way dup cluster otherwise sits in
+    ONE refined bucket — next-band refinement cannot split it — and
+    emits C(k,2) hamming-0 pairs; the same exact-then-near ordering as
+    dedup_ngram_jaccard, expand via dedup_exact when needed). hd<=3
+    pairs among representatives are caught by pigeonhole EXCEPT in the
+    documented degenerate-bucket refinement case (llm/simhash.py: the
+    pair's only flip-free band lands in a >MAX_BUCKET bucket and a
+    flip hits that band's refining neighbor). Value-checked against a
+    full SQL re-derivation of the collapse + band join + refinement."""
     from mapreducecore_spark.llm.simhash import add_simhash, simhash_band_pairs
 
     t = load_tables(spark, sf_dir)
+    reps = t["documents"].groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     return (
-        simhash_band_pairs(add_simhash(t["documents"]))
+        simhash_band_pairs(add_simhash(reps))
         .filter(F.col("hamming") <= 16)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
