@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     # CHANGED this round (scale guards altered pair semantics).
     "dedup_ngram_jaccard",
     "dedup_connected_components",
+    "dedup_candidate_recall",
     # First-time-verified rotation: no driver row in r01/r02.
     "simhash_docs",
     "simhash_neardup_pairs",
