@@ -321,6 +321,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_LSH_VERIFIED_ORACLE = f"""
+    WITH cand AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+    docs3 AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), sh3 AS (
+      SELECT doc_id, unnest({_shingles_duck(3)}) AS shingle
+      FROM docs3 WHERE len(toks) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh3 a ON a.doc_id = c.doc_a
+      JOIN sh3 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.5
+"""
+
+
+@register("dedup_lsh_verified_pairs", oracle=_LSH_VERIFIED_ORACLE)
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup SCORER shape: exact Jaccard computed
+    ONLY on the MinHash-LSH candidate pairs, keeping verification work
+    proportional to candidate count instead of the global
+    inverted-index join (dedup_ngram_jaccard enumerates globally; at
+    100 TB you generate candidates with LSH — 4.1x/decade measured —
+    then verify each with one bounded intersection). The candidate ⋈
+    shingles joins key on doc ids, so fan-out is sum over candidates of
+    |A| — linear in candidates; no df cap is needed because no shingle
+    ever joins against the whole corpus. Emits candidates whose true
+    3-token-shingle Jaccard >= 0.5."""
+    cand = materialize(dedup_minhash_lsh(spark, sf_dir))
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
+    sh3 = (
+        docs.filter(F.expr("size(toks) >= 3"))
+        .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
+    )
+    sh3 = materialize(sh3)
+    sizes = sh3.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh3.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh3.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b_id")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 _DEDUP_RECALL_ORACLE = f"""
     WITH truth AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})),
     cand AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
