@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_candidate_recall",
+    "dedup_lsh_verified_pairs",
     # First-time-verified rotation: no driver row in r01/r02.
     "simhash_docs",
     "simhash_neardup_pairs",
