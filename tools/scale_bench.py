@@ -35,8 +35,11 @@ HEAVY = [
     "dedup_connected_components",
     "dedup_neardup_keeper",
     "dedup_ngram_jaccard",
+    "dedup_lsh_verified_pairs",
     "simhash_neardup_pairs",
     "ann_lsh_bucketed",
+    "ann_ivf_trained",
+    "corpus_curation_pipeline",
     "basket_part_pairs",
     "tfidf_top_terms",
     "q1_pricing_summary",
