@@ -932,3 +932,145 @@ def ann_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rn <= 5")
         .select("q_id", "neighbor_id", "sim")
     )
+
+
+# ------------------------- near-dup decontamination + mixture sampling
+
+from mapreducecore_spark.queries.llm import (  # noqa: E402
+    _MINHASH_SEEDS as _MH_SEEDS,
+    _mh_formula as _mh_f,
+)
+
+_MH_MINS_DUCK = ", ".join(
+    f"MIN({_mh_f('h', s)}) AS mh{s}" for s in range(_MH_SEEDS)
+)
+_MH_SIGS_DUCK = ", ".join(
+    f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR)"
+    for b in range(_MH_SEEDS // 2)
+)
+
+_NEARDUP_DECONTAM_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest({_shingles_duck(3)})), 1, 15)) AS BIGINT) AS h
+      FROM docs WHERE len(toks) >= 3
+    ), mh AS (
+      SELECT doc_id, {_MH_MINS_DUCK} FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, band_id, sig FROM (
+        SELECT doc_id,
+               unnest([{", ".join(str(b) for b in range(_MH_SEEDS // 2))}]) AS band_id,
+               unnest([{_MH_SIGS_DUCK}]) AS sig
+        FROM mh)
+    ), bench AS (
+      SELECT doc_id AS bench_id, band_id, sig FROM bands WHERE {_BENCH_PRED}
+    ), corpus AS (
+      SELECT doc_id, band_id, sig FROM bands WHERE NOT ({_BENCH_PRED})
+    )
+    SELECT c.doc_id, CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_hits
+    FROM corpus c JOIN bench b ON b.band_id = c.band_id AND b.sig = c.sig
+    GROUP BY c.doc_id
+"""
+
+
+@register("decontam_neardup_minhash", oracle=_NEARDUP_DECONTAM_ORACLE)
+def decontam_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup benchmark decontamination — the fuzzy sibling of
+    decontam_ngram_overlap: a corpus doc is flagged when it shares any
+    MinHash band signature with a benchmark/eval doc, catching
+    paraphrased or lightly-edited contamination that exact 13-gram
+    overlap misses. The 100 TB shape is asymmetric: the benchmark side
+    is tiny (eval suites), so its band signatures BROADCAST and the
+    corpus side never shuffles for the probe — one scan + one map-side
+    join, the same contract as the exact decontam op."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
+    sh = (
+        docs.filter(F.expr("size(toks) >= 3"))
+        .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
+        .selectExpr(
+            "doc_id",
+            "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h",
+        )
+    )
+    mh = sh.groupBy("doc_id").agg(
+        *[F.min(F.expr(_mh_f("h", s))).alias(f"mh{s}") for s in range(_MH_SEEDS)]
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            ":", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")
+                        ).alias("sig"),
+                    )
+                    for b in range(_MH_SEEDS // 2)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.sig")
+    bands = materialize(bands)
+    bench = bands.filter(_BENCH_PRED).select(
+        F.col("doc_id").alias("bench_id"), "band_id", "sig"
+    )
+    corpus = bands.filter(f"NOT ({_BENCH_PRED})")
+    return (
+        corpus.join(F.broadcast(bench), ["band_id", "sig"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("bench_id").alias("n_bench_hits"))
+    )
+
+
+_MIXTURE_BUDGET = 300  # tokens per source
+
+_MIXTURE_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+    ), w AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM s
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM w WHERE cum_tokens - n_tokens < {_MIXTURE_BUDGET}
+"""
+
+
+@register("mixture_sample_token_budget", oracle=_MIXTURE_ORACLE)
+def mixture_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling to a per-source TOKEN budget: within each
+    source, docs are taken in deterministic md5(doc_id) order until the
+    source's running token count reaches the budget (a doc is kept iff
+    it STARTS under budget). This is how a training mixture is cut from
+    heterogeneous sources ("x tokens of web, y of code") without a
+    driver-side loop: one window cumulative sum per source — a single
+    shuffle on the source key; the md5 order makes the sample both
+    uniform-ish and reproducible across engines and runs."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    s = spread(t["documents"]).selectExpr(
+        "doc_id",
+        "source",
+        f"CAST(size({_TOKS}) AS BIGINT) AS n_tokens",
+        "md5(CAST(doc_id AS STRING)) AS ord",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        s.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < _MIXTURE_BUDGET)
+        .select("doc_id", "source", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens"))
+    )
