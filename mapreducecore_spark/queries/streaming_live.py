@@ -53,15 +53,34 @@ def _drain(out: DataFrame, spark: SparkSession, mode: str = "complete") -> DataF
     registry entries keep output cardinality small (windowed/grouped
     aggregates, thousands of rows); a production drain writes
     parquet/Kafka through the same writeStream instead.
+
+    Stateful streaming pays per-partition state-store overhead every
+    micro-batch (a stream-stream join provisions FOUR stores per
+    shuffle partition), and AQE cannot coalesce those partitions, so
+    the width is set explicitly here rather than inherited from the
+    batch-tuned session: 8 at test scale (measured 2.2x faster than 32
+    on the interval join, identical results), raised via
+    SPARK_GRAFT_STREAM_SHUFFLE for a real cluster where state must
+    spread across executors. The conf is captured when the query
+    starts and pinned into its checkpoint, so the restore below cannot
+    affect a running stream.
     """
+    import os
+
     name = f"live_{uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    width = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", width)
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         finished = q.awaitTermination(120)
         if not finished:
