@@ -95,7 +95,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_hint_broadcast_sql",
     "fuzzy_match_blocked",
     "set_except_all",
-    "set_intersect_all",
     "agg_min_max_by",
     "agg_corr_covar",
     "agg_listagg_sorted",
@@ -104,17 +103,24 @@ _PRIORITY: tuple[str, ...] = (
     "udf_grouped_agg",
     "udf_arrow_optimized",
     "udf_apply_in_arrow",
-    "udf_row_strmap",
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_type_profit",
-    "q12_shipmode_priority",
     "ann_recall_eval",
     "dedup_savings_report",
+    # NEW in round 3 part 2: CCNet-style line dedup, PII scrub, entropy.
+    "dedup_lines_ccnet",
+    "pii_redact_scrub",
+    "quality_token_entropy",
+    # ---- end of the ~50-entry driver window ----
+    # First-time candidates displaced by the round-3 additions; rotate
+    # into the round-4 window (locally oracle-verified meanwhile).
+    "set_intersect_all",
+    "udf_row_strmap",
+    "q12_shipmode_priority",
     "lang_id_ngram",
     "graph_pagerank_converged",
     "dedup_exact_normalized",
-    # ---- end of the ~50-entry driver window ----
     # Verified in r01/r02; keep ahead of the long tail.
     "events_tumbling_window",
     "events_dedup",

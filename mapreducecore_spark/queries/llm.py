@@ -1489,3 +1489,79 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_frac_removable"
         ),
     )
+
+
+# ------------------------------------------- line-level (CCNet-style) dedup
+
+_LINE_DEDUP_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+occ AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(tk[(i*12+1):(i*12+12)], ' ') AS line,
+           doc_id * 1000000 + i AS k
+    FROM toks, UNNEST(range((len(tk)+11)//12)) AS u(i)
+),
+firsts AS (SELECT line, MIN(k) AS k0 FROM occ GROUP BY line)
+SELECT o.doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN o.k = f.k0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(
+           string_agg(o.line, ' ' ORDER BY o.pos) FILTER (WHERE o.k = f.k0),
+           '')) AS clean_hash
+FROM occ o JOIN firsts f USING (line)
+GROUP BY o.doc_id
+"""
+
+
+@register("dedup_lines_ccnet", oracle=_LINE_DEDUP_ORACLE)
+def dedup_lines_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup across the whole corpus (the CCNet /
+    RefinedWeb paragraph-dedup stage): every document is segmented into
+    lines, each line is kept only at its globally-first occurrence
+    (lowest (doc_id, pos)), and the surviving lines are reassembled in
+    document order. The synthetic corpus has no newlines, so a "line"
+    here is a fixed 12-word segment — the segmentation is a pluggable
+    expression; swap in split(text, '\\n') for real corpora.
+
+    100 TB shape: two shuffles total. (1) line-frequency argmin is a
+    map-side-partial groupBy on the line text — a hot boilerplate line
+    collapses to ONE (line, k0) row, so the join back fans out linearly
+    in the line's occurrence count, never quadratically (contrast the
+    pair-generator guards in dedup_minhash_lsh). (2) reassembly is a
+    groupBy(doc_id) over (pos, line) structs. No collect, no UDFs —
+    segmentation itself is sequence/slice/array_join, JVM-side.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select("doc_id", F.split("text", " ").alias("tk"))
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.expr("(size(tk)+11) div 12") - 1),
+                lambda i: F.array_join(F.slice("tk", i * 12 + 1, 12), " "),
+            )
+        ).alias("pos", "line"),
+    )
+    occ = lines.withColumn(
+        "k", F.col("doc_id") * F.lit(1000000) + F.col("pos")
+    )
+    firsts = occ.groupBy("line").agg(F.min("k").alias("k0"))
+    flagged = occ.join(firsts, "line")
+    keep = F.col("k") == F.col("k0")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )

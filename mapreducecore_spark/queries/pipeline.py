@@ -1074,3 +1074,135 @@ def mixture_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") - F.col("n_tokens") < _MIXTURE_BUDGET)
         .select("doc_id", "source", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens"))
     )
+
+
+# ---------------------------------------------------------- PII scrubbing
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_PII_ORACLE = f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com or call +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(
+           regexp_replace(
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS redacted_hash
+FROM aug
+"""
+
+
+@register("pii_redact_scrub", oracle=_PII_ORACLE)
+def pii_redact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — detect and mask emails, phone numbers, and IPv4
+    addresses before text reaches a training corpus. The synthetic
+    documents carry no natural PII (word-salad, no digits), so the
+    operator first APPENDS deterministic PII derived from doc_id to
+    every document; the detection/redaction regexes then run against
+    real varied positions and the cross-engine hash genuinely checks
+    Java-regex vs RE2 agreement on the patterns. On a real corpus, drop
+    the augmentation and run the same three regexp_replace passes.
+
+    100 TB shape: embarrassingly parallel single scan, zero shuffles —
+    regexp_count/regexp_replace are JVM codegen'd string ops, no Python.
+    Redaction order (email, phone, IP) is fixed and mirrored in the
+    oracle so overlap resolution is engine-independent.
+    """
+    t = load_tables(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count(aug, F.lit(_PII_IP)).cast("long").alias("n_ip"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+# ------------------------------------------------------- entropy quality
+
+_ENTROPY_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS_DUCK} AS tk FROM documents
+),
+counted AS (
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           list_transform(
+               list_sort(list_distinct(tk)),
+               d -> len(list_filter(tk, x -> x = d))) AS cnts
+    FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(cnts) AS BIGINT) AS n_distinct,
+       round(ln(n_tokens)
+             - list_sum(list_transform(cnts, c -> c * ln(c))) / n_tokens,
+             6) AS token_entropy
+FROM counted
+WHERE n_tokens > 0
+"""
+
+
+@register("quality_token_entropy", oracle=_ENTROPY_ORACLE)
+def quality_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document unigram distribution — the
+    gibberish/low-diversity quality signal (a doc repeating one word has
+    H=0; uniform vocabulary use maximizes H). Complements
+    quality_repetition_ratio (dup fractions) with a distributional view.
+
+    Cross-engine float parity: the c*ln(c) sum runs over counts in
+    SORTED-distinct-token order in BOTH engines (a per-row higher-order
+    fold, not a shuffled aggregate), so the floating-point reduction
+    order is identical and the rounded value matches exactly. Per-row
+    cost is O(n_distinct * n_tokens) on ~60-word docs — JVM codegen'd,
+    zero shuffles, embarrassingly parallel at any scale.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].selectExpr("doc_id", f"{_TOKS} AS tk")
+    counted = toks.selectExpr(
+        "doc_id",
+        "size(tk) AS n_tokens",
+        "transform(array_sort(array_distinct(tk)),"
+        " d -> size(filter(tk, x -> x = d))) AS cnts",
+    )
+    return counted.where("n_tokens > 0").selectExpr(
+        "doc_id",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(size(cnts) AS BIGINT) AS n_distinct",
+        "round(ln(n_tokens)"
+        " - aggregate(cnts, 0D, (acc, c) -> acc + c * ln(c)) / n_tokens,"
+        " 6) AS token_entropy",
+    )
