@@ -284,3 +284,29 @@ def test_jaccard_df_cap_window_precedes_join(spark, sf_dir):
     assert "Window" in plan
     assert "Join" in plan
     assert "shingle" in plan
+
+
+def test_line_dedup_partial_agg_and_equijoin(spark, sf_dir):
+    """dedup_lines_ccnet: the line-frequency argmin must partial-agg
+    map-side (hot boilerplate lines collapse before the shuffle) and
+    the join-back must be an equi-join on the line text — a cartesian
+    fallback here would be quadratic in corpus size."""
+    plan = plan_of(REGISTRY["dedup_lines_ccnet"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final argmin
+    assert "line" in plan and "Join" in plan
+
+
+def test_pii_scrub_single_scan_no_exchange(spark, sf_dir):
+    """pii_redact_scrub is a pure per-row string pass: scan + project,
+    zero shuffles, and the untouched lang/source columns pruned."""
+    plan = plan_of(REGISTRY["pii_redact_scrub"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_token_entropy_single_scan_no_exchange(spark, sf_dir):
+    """quality_token_entropy's fold is per-row: no shuffle anywhere."""
+    plan = plan_of(REGISTRY["quality_token_entropy"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
