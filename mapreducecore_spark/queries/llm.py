@@ -1499,18 +1499,25 @@ WITH toks AS (
 ),
 occ AS (
     SELECT doc_id, i AS pos,
-           array_to_string(tk[(i*12+1):(i*12+12)], ' ') AS line,
-           doc_id * 1000000 + i AS k
+           array_to_string(tk[(i*12+1):(i*12+12)], ' ') AS line
     FROM toks, UNNEST(range((len(tk)+11)//12)) AS u(i)
 ),
-firsts AS (SELECT line, MIN(k) AS k0 FROM occ GROUP BY line)
+firsts AS (SELECT line, MIN(doc_id) AS d0 FROM occ GROUP BY line),
+seconds AS (
+    SELECT o.line, MIN(o.pos) AS p0
+    FROM occ o JOIN firsts f USING (line)
+    WHERE o.doc_id = f.d0
+    GROUP BY o.line
+)
 SELECT o.doc_id,
        COUNT(*) AS n_lines,
-       CAST(SUM(CASE WHEN o.k = f.k0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN o.doc_id = f.d0 AND o.pos = s.p0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        md5(COALESCE(
-           string_agg(o.line, ' ' ORDER BY o.pos) FILTER (WHERE o.k = f.k0),
+           string_agg(o.line, ' ' ORDER BY o.pos)
+               FILTER (WHERE o.doc_id = f.d0 AND o.pos = s.p0),
            '')) AS clean_hash
-FROM occ o JOIN firsts f USING (line)
+FROM occ o JOIN firsts f USING (line) JOIN seconds s USING (line)
 GROUP BY o.doc_id
 """
 
@@ -1544,12 +1551,24 @@ def dedup_lines_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "line"),
     )
-    occ = lines.withColumn(
-        "k", F.col("doc_id") * F.lit(1000000) + F.col("pos")
+    # Two-phase primitive argmin for (doc_id, pos): min doc_id per line,
+    # then min pos within that doc. Both stay codegen'd HashAggregates
+    # with map-side partials (a struct-min falls back to sort-based
+    # aggregation, measured 10x slower; an arithmetic key doc_id*K+pos
+    # overflows BIGINT once doc_id carries 1e14-scale shard offsets).
+    # The second aggregate and both join-backs hash on `line` — the same
+    # key as the first — so AQE/exchange-reuse keeps this at one logical
+    # repartition by line plus the final doc_id regroup.
+    occ = lines
+    firsts = occ.groupBy("line").agg(F.min("doc_id").alias("d0"))
+    seconds = (
+        occ.join(firsts, "line")
+        .where(F.col("doc_id") == F.col("d0"))
+        .groupBy("line")
+        .agg(F.min("pos").alias("p0"))
     )
-    firsts = occ.groupBy("line").agg(F.min("k").alias("k0"))
-    flagged = occ.join(firsts, "line")
-    keep = F.col("k") == F.col("k0")
+    flagged = occ.join(firsts, "line").join(seconds, "line")
+    keep = (F.col("doc_id") == F.col("d0")) & (F.col("pos") == F.col("p0"))
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_lines"),
         F.sum(keep.cast("long")).alias("n_kept"),
