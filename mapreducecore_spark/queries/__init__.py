@@ -104,10 +104,10 @@ _PRIORITY: tuple[str, ...] = (
     "udf_arrow_optimized",
     "udf_apply_in_arrow",
     "q2_min_cost_supplier",
-    "q8_market_share",
     "q9_product_type_profit",
     "ann_recall_eval",
     "dedup_savings_report",
+    "stream_live_doc_dedup",
     # NEW in round 3 part 2: CCNet-style line dedup, PII scrub, entropy.
     "dedup_lines_ccnet",
     "pii_redact_scrub",
@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     # ---- end of the ~50-entry driver window ----
     # First-time candidates displaced by the round-3 additions; rotate
     # into the round-4 window (locally oracle-verified meanwhile).
+    "q8_market_share",
     "set_intersect_all",
     "udf_row_strmap",
     "q12_shipmode_priority",

@@ -404,3 +404,42 @@ def stream_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
     )
     return _drain(out, spark, mode="append")
+
+
+@register(
+    "stream_live_doc_dedup",
+    oracle="""
+    WITH d AS (SELECT DISTINCT source, md5(text) AS h FROM documents)
+    SELECT source, COUNT(*) AS n_unique FROM d GROUP BY source
+    """,
+)
+def stream_live_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time exact dedup of the DOCUMENT corpus — the
+    LLM-pipeline counterpart of stream_live_dedup_totals: documents
+    arrive as a stream, each is content-hashed (md5 of the raw text),
+    and dropDuplicates on (source, hash) suppresses re-crawled copies
+    before they ever reach storage. The drained per-source unique
+    counts equal the batch DISTINCT oracle.
+
+    100 TB shape: dedup state is one (source, 32-byte hash) entry per
+    unique doc, hash-partitioned across the state stores; with a
+    watermark on ingest time (dropDuplicatesWithinWatermark) the state
+    is bounded in production — unbounded here because availableNow
+    backfill is finite by construction."""
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    tune_session(spark)
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = (
+        docs.select("source", F.md5("text").alias("h"))
+        .dropDuplicates(["source", "h"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return _drain(out, spark)
