@@ -101,3 +101,39 @@ def mr_sorted_partition_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_partition_id=True,
         partition_fn=md5_partitioner(8),
     )
+
+
+@register(
+    "source_custom_pyds_scan",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def source_custom_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through the CUSTOM Python DataSource (Spark 4 pluggable
+    source API, sources/pydatasource.py): the documents table re-read
+    via pyarrow with one InputPartition per parquet row group, Arrow
+    batches yielded straight to the JVM, then a normal aggregation on
+    top. Matching the plain-SQL oracle proves the custom source is
+    byte-faithful to the native scan — the contract any exotic-format
+    reader plugged into the same class must meet. (The reference's S1
+    custom text source + file_shard.h sharding, generalized; for
+    formats Spark already has, the native reader wins — see the module
+    docstring.)"""
+    import os
+
+    from mapreducecore_spark.sources.pydatasource import register_sources
+
+    register_sources(spark)
+    docs = (
+        spark.read.format("mrc_rowgroups")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .load()
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
