@@ -317,3 +317,70 @@ def test_restart_from_checkpoint_resumes_exactly_once(spark, stream_env, tmp_pat
         assert counts == {7: 3, 9: 1}
     finally:
         q2.stop()
+
+
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    """100 TB state story: streaming state larger than executor memory
+    needs the RocksDB state store provider (bundled rocksdbjni). The
+    same stateful aggregation must produce identical results under
+    RocksDB-backed and default (HDFS-backed in-memory) state stores."""
+    from mapreducecore_spark.queries.streaming_live import stream_live_user_totals
+
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default_rows = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in stream_live_user_totals(spark, sf_dir).collect()
+    }
+    prev = spark.conf.get(key)
+    spark.conf.set(key, rocks)
+    try:
+        rocks_rows = {
+            (r["user_id"], r["n_events"], r["total_value"])
+            for r in stream_live_user_totals(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    assert rocks_rows == default_rows and len(rocks_rows) > 0
+
+
+def test_parquet_sink_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Restart-safety of the durable sink path: an availableNow drain
+    into a parquet sink with a checkpoint, then the SAME query restarted
+    against the SAME checkpoint, must not re-emit the already-committed
+    backlog — the offset log + file-sink transaction log give
+    exactly-once across restarts (reference D7, master.h:295-300,
+    delegated to Spark's commit protocol)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreducecore_spark.queries.streaming_live import _event_stream
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain_once():
+        q = (
+            _event_stream(spark, sf_dir)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    drain_once()
+    n_batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_batch
+    drain_once()  # "restart" — same checkpoint, backlog already committed
+    second = spark.read.parquet(out)
+    assert second.count() == n_batch
+    assert second.select(F.countDistinct("event_id")).first()[0] == n_batch
