@@ -338,3 +338,47 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             summarize, "l_returnflag STRING, n_rows BIGINT, line_sum BIGINT"
         )
     )
+
+
+@register(
+    "udtf_segment_lateral",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE doc_id < 500
+    )
+    SELECT doc_id, i AS pos,
+           CAST(least(12, len(tk) - i*12) AS INT) AS n_words,
+           tk[i*12 + 1] AS first_word
+    FROM toks, UNNEST(range((len(tk)+11)//12)) AS u(i)
+    """,
+)
+def udtf_segment_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) applied via a
+    SQL LATERAL join: one input document fans out to one row per
+    12-word segment — the table-valued generalization of the
+    reference's map() contract (one line in, many pairs out,
+    mr_task_factory.h:20), here with a declared output schema instead
+    of untyped string pairs. Kept on a filtered slice like the row UDF:
+    UDTFs run row-at-a-time in Python and are the documented slow path
+    — segmentation on the hot path uses the JVM-side higher-order
+    expression in dedup_lines_ccnet instead."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, n_words: int, first_word: string")
+    class SegmentUdtf:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range((len(toks) + 11) // 12):
+                seg = toks[i * 12 : (i + 1) * 12]
+                yield i, len(seg), seg[0]
+
+    load_tables(spark, sf_dir)
+    spark.udtf.register("segment_udtf", SegmentUdtf)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.n_words, s.first_word
+        FROM documents d, LATERAL segment_udtf(d.text) s
+        WHERE d.doc_id < 500
+        """
+    )
