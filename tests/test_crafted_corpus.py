@@ -1,0 +1,151 @@
+"""Adversarial-corpus parity: the driver's synthetic documents are
+single-line digit-free word salad, so the text operators' edge cases
+(natural PII mid-text, shared/duplicated segments, empty and
+single-word and zero-entropy docs, multi-space runs, non-ASCII) never
+arise there. This suite rebuilds a tmp sf_dir with a CRAFTED documents
+table covering exactly those cases and re-runs the same
+Spark-vs-DuckDB comparison the driver does — on inputs chosen to
+break the operators, not to flatter them."""
+
+from __future__ import annotations
+
+import math
+import shutil
+
+import duckdb
+import pandas as pd
+import pytest
+
+from mapreducecore_spark.queries import REGISTRY, _load_all
+
+_load_all()
+
+_SEG = "s01 s02 s03 s04 s05 s06 s07 s08 s09 s10 s11 s12"  # one full line
+
+_DOCS = [
+    (0, "alpha beta gamma delta", "en", "srcA"),
+    (1, _SEG + " tail one follows here", "en", "srcA"),
+    (2, _SEG + " different continuation text", "en", "srcB"),  # shares line w/ 1
+    (3, "word", "en", "srcB"),  # single token
+    (4, "", "en", "srcB"),  # empty text
+    (5, "same same same same same same same same same same same same same", "en", "srcC"),  # zero entropy
+    (6, "contact john.doe@example.org or +1-555-1234 from 192.168.0.1 ok", "en", "srcC"),  # natural PII
+    (7, "a  b   c twice twice", "en", "srcC"),  # multi-space runs
+    (8, "héllo wörld café naïve résumé encore voilà bien sûr oui non merci", "fr", "srcC"),  # non-ASCII
+    (9, _SEG + " " + _SEG + " unique tail words", "en", "srcA"),  # internal dup line
+]
+
+_OPS = [
+    "dedup_lines_ccnet",
+    "pii_redact_scrub",
+    "quality_token_entropy",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "text_stats",
+    "quality_repetition_ratio",
+    "lang_id_ngram",
+    "doc_fingerprint",
+]
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("crafted_sf")
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{sf_dir}/{name}.parquet", root / f"{name}.parquet")
+    df = pd.DataFrame(
+        [(i, t, lg, src, len(t)) for i, t, lg, src in _DOCS],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    df.to_parquet(root / "documents.parquet", index=False)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def crafted_duck(crafted_dir):
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{crafted_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else repr(round(v, 9)))
+            elif v is None:
+                vals.append("NULL")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", _OPS)
+def test_crafted_corpus_parity(name, spark, crafted_dir, crafted_duck):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, crafted_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    rel = crafted_duck.sql(spec.oracle)
+    duck_rows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rows spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns = _normalize(spark_rows, sdf.columns)
+    nd = _normalize(duck_rows, rel.columns)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: first mismatch {mismatches[0]}"
+
+
+def test_crafted_line_dedup_semantics(spark, crafted_dir):
+    """Direct semantic checks, independent of the oracle: the shared
+    first segment survives only in doc 1 (lowest doc_id), and doc 9's
+    internally-repeated segment is kept at most once."""
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_lines_ccnet"].fn(spark, crafted_dir).collect()
+    }
+    assert rows[1]["n_kept"] == rows[1]["n_lines"]  # first owner keeps all
+    assert rows[2]["n_kept"] == rows[2]["n_lines"] - 1  # shared line removed
+    assert rows[9]["n_kept"] <= rows[9]["n_lines"] - 2  # internal+cross dup gone
+    assert rows[5]["n_kept"] >= 1  # unique doc keeps its content
+
+
+def test_crafted_pii_counts(spark, crafted_dir):
+    """Doc 6 carries natural PII on top of the injected triple: the
+    detectors must count 2 emails / 2 phones / 2 IPv4s there and
+    exactly the injected 1/1/1 elsewhere."""
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["pii_redact_scrub"].fn(spark, crafted_dir).collect()
+    }
+    assert (rows[6]["n_email"], rows[6]["n_phone"], rows[6]["n_ip"]) == (2, 2, 2)
+    assert (rows[0]["n_email"], rows[0]["n_phone"], rows[0]["n_ip"]) == (1, 1, 1)
+
+
+def test_crafted_entropy_extremes(spark, crafted_dir):
+    """Zero-entropy doc scores 0; a doc of distinct tokens scores
+    ln(n)."""
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["quality_token_entropy"].fn(spark, crafted_dir).collect()
+    }
+    assert rows[5]["token_entropy"] == 0.0
+    expect = round(math.log(rows[0]["n_tokens"]), 6)
+    assert rows[0]["n_distinct"] == rows[0]["n_tokens"]
+    assert abs(rows[0]["token_entropy"] - expect) < 1e-9
