@@ -443,3 +443,31 @@ def stream_live_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_unique"))
     )
     return _drain(out, spark)
+
+
+@register(
+    "stream_live_dedup_within_watermark",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_id, event_type FROM events)
+    SELECT event_type, COUNT(*) AS n_unique FROM d GROUP BY event_type
+    """,
+)
+def stream_live_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the BOUNDED-STATE dedup API:
+    unlike plain dropDuplicates (state grows forever), each key is held
+    only until the watermark passes its event time, which is the only
+    deployable config for an unbounded 100 TB ingest stream. The
+    guarantee is conditional: duplicates arriving within the watermark
+    delay of each other are suppressed. Here the whole backlog drains
+    as one availableNow batch (single file, maxFilesPerTrigger=1), so
+    every duplicate is within-delay by construction and the drained
+    counts equal the unconditional batch DISTINCT oracle."""
+    ev = _event_stream(spark, sf_dir)
+    out = (
+        ev.select("event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return _drain(out, spark)
