@@ -149,3 +149,64 @@ def test_crafted_entropy_extremes(spark, crafted_dir):
     expect = round(math.log(rows[0]["n_tokens"]), 6)
     assert rows[0]["n_distinct"] == rows[0]["n_tokens"]
     assert abs(rows[0]["token_entropy"] - expect) < 1e-9
+
+
+def test_random_corpus_line_dedup_vs_python_reference(
+    spark, sf_dir, tmp_path_factory
+):
+    """Differential test: a seeded random corpus (small vocab so 12-word
+    segments collide often, plus whole-doc duplicates) run through
+    dedup_lines_ccnet must match an independent pure-Python
+    implementation of the first-occurrence-wins rule."""
+    import hashlib
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(18)]
+    docs = []
+    for did in range(60):
+        n = rng.randint(0, 40)
+        docs.append((did, " ".join(rng.choice(vocab) for _ in range(n))))
+    for did in range(60, 75):  # whole-document duplicates
+        docs.append((did, docs[rng.randrange(30)][1]))
+
+    def segments(text):
+        toks = text.split(" ")
+        return [
+            " ".join(toks[i * 12 : (i + 1) * 12])
+            for i in range((len(toks) + 11) // 12)
+        ]
+
+    first = {}
+    for did, text in docs:
+        for pos, line in enumerate(segments(text)):
+            if line not in first:
+                first[line] = (did, pos)
+    expect = {}
+    for did, text in docs:
+        segs = segments(text)
+        kept = [l for p, l in enumerate(segs) if first[l] == (did, p)]
+        expect[did] = (
+            len(segs),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    root = tmp_path_factory.mktemp("rand_sf")
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{sf_dir}/{name}.parquet", root / f"{name}.parquet")
+    pdf = pd.DataFrame(
+        [(d, t, "en", "srcR", len(t)) for d, t in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(root / "documents.parquet", index=False)
+
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_hash"])
+        for r in REGISTRY["dedup_lines_ccnet"].fn(spark, str(root)).collect()
+    }
+    assert got == expect
