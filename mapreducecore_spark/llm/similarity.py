@@ -18,10 +18,15 @@ N_TABLES = 4
 BITS = 8
 _HALF = 32  # hyperplane pairs (i, i+32) over 64-dim embeddings
 
+# The denominator is wrapped in nullif so a zero-norm vector yields
+# NULL, matching DuckDB's division semantics (x/0 -> NULL there, but
+# IEEE NaN in Spark double math — a crafted-corpus divergence caught by
+# tests/test_crafted_embeddings.py). NULL sims sort last under DESC and
+# fail >= thresholds in BOTH engines, so zero vectors simply never rank.
 COS_SPARK = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    " / (sqrt(aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
-    " * sqrt(aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))"
+    " / nullif(sqrt(aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    " * sqrt(aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)), CAST(0 AS DOUBLE))"
 )
 
 COS_DUCK = (

@@ -840,7 +840,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            ROUND(maxabs / 127, 9) AS scale,
-           list_transform(emb, x -> CAST(trunc(x * 127 / maxabs) AS INT)) AS qvec
+           list_transform(emb, x -> CAST(trunc(coalesce(x * 127 / nullif(maxabs, 0), 0)) AS INT)) AS qvec
     FROM m
     """,
 )
@@ -861,14 +861,19 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "ROUND(maxabs / 127, 9) AS scale",
-        "transform(emb, x -> CAST(x * 127 / maxabs AS INT)) AS qvec",
+        # nullif+coalesce: a zero vector has maxabs 0 and must quantize
+        # to zeros, not crash ANSI division (DuckDB x/0 -> NULL mirrors).
+        "transform(emb, x -> CAST(coalesce(x * 127 / nullif(maxabs, CAST(0 AS DOUBLE)),"
+        " CAST(0 AS DOUBLE)) AS INT)) AS qvec",
     )
 
 
 _DEQ_COS_SPARK = (
+    # nullif guard: zero-norm (e.g. all-zero quantized) vectors yield
+    # NULL like DuckDB division, instead of an ANSI divide-by-zero.
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    " / (sqrt(aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
-    " * sqrt(aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))"
+    " / nullif(sqrt(aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    " * sqrt(aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)), CAST(0 AS DOUBLE))"
 )
 
 
