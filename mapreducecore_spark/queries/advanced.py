@@ -223,10 +223,18 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     return s.select(
         "l_returnflag",
+        # try_divide: a constant column (zero variance) or a 1-row group
+        # must yield NULL like DuckDB's division, not an ANSI crash.
         F.round(
-            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9
+            F.try_divide(
+                n * sxy - sx * sy,
+                F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            ),
+            9,
         ).alias("corr_qty_price"),
-        F.round((n * sxy - sx * sy) / (n.cast("double") * (n - 1)), 6).alias("covar_samp"),
+        F.round(
+            F.try_divide(n * sxy - sx * sy, n.cast("double") * (n - 1)), 6
+        ).alias("covar_samp"),
     )
 
 

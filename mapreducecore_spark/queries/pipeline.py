@@ -889,7 +889,7 @@ _DEQ_COS_SPARK = (
     ), q8 AS (
       SELECT vec_id,
              list_transform(emb,
-               x -> CAST(trunc(x * 127 / maxabs) AS INT) * (maxabs / 127)) AS deq
+               x -> CAST(trunc(coalesce(x * 127 / nullif(maxabs, 0), 0)) AS INT) * (maxabs / 127)) AS deq
       FROM m
     ), qs AS (SELECT vec_id AS q_id, deq AS q_deq FROM q8 WHERE vec_id < 8),
     sims AS (
@@ -921,7 +921,8 @@ def ann_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
     ).selectExpr(
         "vec_id",
-        "transform(emb, x -> CAST(CAST(x * 127 / maxabs AS INT) AS DOUBLE)"
+        "transform(emb, x -> CAST(CAST(coalesce(x * 127 / nullif(maxabs,"
+        " CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)) AS INT) AS DOUBLE)"
         " * (maxabs / 127)) AS deq",
     )
     q = q8.filter(F.col("vec_id") < 8).selectExpr("vec_id AS q_id", "deq AS q_deq")

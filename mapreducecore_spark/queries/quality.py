@@ -58,7 +58,9 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("sx") / F.col("n")
     std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
-    z = F.round((F.col("value") - mean) / std, 6)
+    # try_divide: an all-constant event_type has std 0 -> NULL zscore
+    # (mirrors DuckDB x/0 -> NULL); the |z| filter then drops it.
+    z = F.round(F.try_divide(F.col("value") - mean, std), 6)
     return (
         t["events"]
         .join(F.broadcast(s), "event_type")

@@ -48,6 +48,7 @@ _EMB = [
 
 _OPS = [
     "ann_cosine_topk",
+    "ann_cosine_quantized",
     "embedding_centroid_per_label",
     "embedding_quantize_int8",
 ]

@@ -47,6 +47,7 @@ _EVENTS = [
 
 _OPS = [
     "events_sessionize_batch",
+    "dq_anomaly_zscore",
     "events_debounce",
     "events_dedup",
     "events_scd2_intervals",
