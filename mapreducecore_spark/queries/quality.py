@@ -288,11 +288,16 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad")
         )
     )
-    score = F.round(F.abs(F.col("value") - F.col("med_v")) / F.col("mad"), 4)
+    # try_divide: a constant-majority type has MAD 0 (very common for
+    # e.g. value=0 click events) -> NULL score, dropped by the filter,
+    # matching DuckDB's x/0 -> NULL — not an ANSI divide-by-zero kill.
+    score = F.round(
+        F.try_divide(F.abs(F.col("value") - F.col("med_v")), F.col("mad")), 4
+    )
     return (
         t["events"]
         .join(F.broadcast(med), "event_type")
         .join(F.broadcast(dev), "event_type")
         .select("event_id", "event_type", "value", score.alias("mad_score"))
-        .filter(F.abs(F.col("value") - F.col("med_v")) / F.col("mad") > 3.5)
+        .filter(F.col("mad_score") > 3.5)
     )

@@ -48,6 +48,7 @@ _EVENTS = [
 _OPS = [
     "events_sessionize_batch",
     "dq_anomaly_zscore",
+    "dq_mad_outliers",
     "events_debounce",
     "events_dedup",
     "events_scd2_intervals",
