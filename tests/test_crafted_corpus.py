@@ -33,10 +33,21 @@ _DOCS = [
     (7, "a  b   c twice twice", "en", "srcC"),  # multi-space runs
     (8, "héllo wörld café naïve résumé encore voilà bien sûr oui non merci", "fr", "srcC"),  # non-ASCII
     (9, _SEG + " " + _SEG + " unique tail words", "en", "srcA"),  # internal dup line
+    # exact duplicates: a 3-way cluster (collapse guards) + cross-source pair
+    (10, _SEG + " tail one follows here", "en", "srcB"),  # == doc 1
+    (11, _SEG + " tail one follows here", "en", "srcC"),  # == doc 1
+    (12, "alpha beta gamma delta", "de", "srcB"),  # == doc 0, other lang/src
 ]
 
 _OPS = [
     "dedup_lines_ccnet",
+    "dedup_minhash_lsh",
+    "simhash_docs",
+    "simhash_neardup_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "wordcount_documents",
+    "token_count_bpe",
     "pii_redact_scrub",
     "quality_token_entropy",
     "dedup_exact",
