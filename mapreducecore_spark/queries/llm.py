@@ -417,7 +417,10 @@ def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked cross-engine."""
     truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # Both sides are consumed twice (semi-join + count); materialize
+    # BOTH so neither shingling pipeline re-executes.
     truth = materialize(truth)
+    cand = materialize(cand)
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     return (
         truth.agg(F.count("*").cast("bigint").alias("n_truth"))
