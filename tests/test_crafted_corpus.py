@@ -221,3 +221,48 @@ def test_random_corpus_line_dedup_vs_python_reference(
         for r in REGISTRY["dedup_lines_ccnet"].fn(spark, str(root)).collect()
     }
     assert got == expect
+
+
+def test_random_corpus_entropy_vs_python_reference(
+    spark, sf_dir, tmp_path_factory
+):
+    """Differential test: token entropy on a random corpus must match
+    an independent pure-Python computation to the rounded precision."""
+    import collections
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [
+        (did, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 50))))
+        for did in range(50)
+    ]
+
+    expect = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        counts = collections.Counter(toks)
+        h = math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+        expect[did] = (n, len(counts), round(h, 6))
+
+    root = tmp_path_factory.mktemp("rand_ent")
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{sf_dir}/{name}.parquet", root / f"{name}.parquet")
+    pdf = pd.DataFrame(
+        [(d, t, "en", "srcE", len(t)) for d, t in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(root / "documents.parquet", index=False)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["token_entropy"])
+        for r in REGISTRY["quality_token_entropy"].fn(spark, str(root)).collect()
+    }
+    for did in expect:
+        assert got[did][:2] == expect[did][:2]
+        assert abs(got[did][2] - expect[did][2]) <= 1e-6, (did, got[did], expect[did])
