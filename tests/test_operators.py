@@ -250,3 +250,82 @@ def test_hll_sketch_merge_accuracy(spark, sf_dir):
     assert abs(rows["ALL"] - exact_all) / exact_all < 0.05
     # merged estimate >= any single-status estimate
     assert rows["ALL"] >= max(v for k, v in rows.items() if k != "ALL")
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """The rows-only sketch op must land within its configured 2% rsd
+    (allow 5% absolute slack) of the exact distinct count per group."""
+    from pyspark.sql import functions as F
+
+    from mapreducecore_spark.queries.relational import agg_approx_count_distinct
+
+    approx = {
+        r["l_returnflag"]: r["approx_n_part"]
+        for r in agg_approx_count_distinct(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
+
+
+def test_approx_percentile_brackets_exact(spark, sf_dir):
+    """Each sketch quantile must bracket the exact percentile within
+    1% of the group's value range (accuracy 10000 -> much tighter)."""
+    from pyspark.sql import functions as F
+
+    from mapreducecore_spark.queries.advanced import agg_approx_percentile
+
+    approx = {
+        r["o_orderstatus"]: r["pcts"]
+        for r in agg_approx_percentile(spark, sf_dir).collect()
+    }
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = {
+        r["o_orderstatus"]: (r["pcts"], r["lo"], r["hi"])
+        for r in od.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("pcts"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .collect()
+    }
+    for k, (ex, lo, hi) in exact.items():
+        span = float(hi) - float(lo)
+        for a, e in zip(approx[k], ex):
+            assert abs(float(a) - float(e)) <= 0.01 * span, (k, a, e)
+        assert list(approx[k]) == sorted(approx[k])  # monotone quantiles
+
+
+def test_sample_stratified_fractions_and_determinism(spark, sf_dir):
+    """Seeded sampleBy: per-stratum rates near their targets and the
+    SAME rows on re-execution (deterministic seed)."""
+    from mapreducecore_spark.queries.advanced import sample_stratified
+
+    got1 = sample_stratified(spark, sf_dir).collect()
+    got2 = sample_stratified(spark, sf_dir).collect()
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))
+    from pyspark.sql import functions as F
+
+    totals = {
+        r["o_orderstatus"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    targets = {"F": 0.1, "O": 0.05, "P": 0.5}
+    from collections import Counter
+
+    counts = Counter(r["o_orderstatus"] for r in got1)
+    for k, frac in targets.items():
+        if totals.get(k, 0) >= 200:  # enough mass for a rate check
+            rate = counts[k] / totals[k]
+            assert abs(rate - frac) < max(0.5 * frac, 0.03), (k, rate, frac)
