@@ -1559,10 +1559,11 @@ def dedup_lines_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with map-side partials (a struct-min falls back to sort-based
     # aggregation, measured 10x slower; an arithmetic key doc_id*K+pos
     # overflows BIGINT once doc_id carries 1e14-scale shard offsets).
-    # The second aggregate and both join-backs hash on `line` — the same
-    # key as the first — so AQE/exchange-reuse keeps this at one logical
-    # repartition by line plus the final doc_id regroup.
-    occ = lines
+    # occ feeds three consumers (two argmin aggregates + the flag join);
+    # materialize it once so the scan+segmentation stage doesn't run 3x
+    # (measured 35% faster at 10x; same pattern as the minhash
+    # signature localCheckpoint).
+    occ = materialize(lines)
     firsts = occ.groupBy("line").agg(F.min("doc_id").alias("d0"))
     seconds = (
         occ.join(firsts, "line")
