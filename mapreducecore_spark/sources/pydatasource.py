@@ -62,9 +62,10 @@ class ParquetRowGroupDataSource(DataSource):
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        return from_arrow_schema(
-            pq.ParquetFile(self.options["path"]).schema_arrow
-        )
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("mrc_rowgroups requires .option('path', ...)")
+        return from_arrow_schema(pq.ParquetFile(path).schema_arrow)
 
     def reader(self, schema):
         return _RowGroupReader(schema, self.options)
