@@ -50,6 +50,8 @@ _OPS = [
     "ann_cosine_topk",
     "ann_cosine_quantized",
     "embedding_centroid_per_label",
+    "ann_lsh_bucketed",
+    "embedding_neardup_pairs",
     "embedding_quantize_int8",
 ]
 
