@@ -384,3 +384,54 @@ def test_parquet_sink_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     second = spark.read.parquet(out)
     assert second.count() == n_batch
     assert second.select(F.countDistinct("event_id")).first()[0] == n_batch
+
+
+def test_stateful_agg_resumes_from_checkpoint(spark, tmp_path):
+    """Stateful-streaming restart: drain batch 1 with a checkpoint,
+    then add batch 2 and re-run the SAME query against the SAME
+    checkpoint. The second run reads only the new file, yet its
+    complete-mode output equals the aggregation over BOTH batches —
+    the per-key counts live in the restored state store, not in a
+    re-read of the backlog."""
+    import uuid as _uuid
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, EVENTS_COLS).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = stream.groupBy("user_id").count()
+        name = f"resume_{_uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        n_files_read = q.lastProgress["sources"][0]["numInputRows"] if q.lastProgress else None
+        q.stop()
+        return spark.table(name).collect(), n_files_read
+
+    write_batch([_ev(1, "2026-01-01 10:00:00", user=1), _ev(2, "2026-01-01 10:01:00", user=2)])
+    first, _ = drain()
+    assert {r["user_id"]: r["count"] for r in first} == {1: 1, 2: 1}
+
+    write_batch([_ev(3, "2026-01-01 10:02:00", user=1), _ev(4, "2026-01-01 10:03:00", user=1)])
+    second, n_rows_second = drain()
+    # full accumulated state, though only batch 2 was read this run
+    assert {r["user_id"]: r["count"] for r in second} == {1: 3, 2: 1}
+    assert n_rows_second == 2  # the restart did NOT re-read batch 1
