@@ -83,28 +83,24 @@ _PRIORITY: tuple[str, ...] = (
     "simhash_docs",
     "simhash_neardup_pairs",
     "events_session_window",
-    "events_sliding_window",
-    "events_sessionize_batch",
     "events_day_retention",
     "events_cdc_latest_state",
     "events_scd2_intervals",
-    "events_debounce",
-    "events_stateful_counts",
     "join_asof_last_order",
     "join_lateral_topn",
     "join_hint_broadcast_sql",
+    "join_left_anti",
     "fuzzy_match_blocked",
     "set_except_all",
     "agg_min_max_by",
-    "agg_corr_covar",
-    "agg_listagg_sorted",
     "agg_mode_deterministic",
     "agg_null_semantics",
+    "agg_rollup",
+    "window_moving_avg",
     "udf_grouped_agg",
-    "udf_arrow_optimized",
-    "udf_apply_in_arrow",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
+    "q18_large_volume_orders",
     "ann_recall_eval",
     "dedup_savings_report",
     "stream_live_doc_dedup",
@@ -112,9 +108,23 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_lines_ccnet",
     "pii_redact_scrub",
     "quality_token_entropy",
+    # NEW in round 3 part 3: SemDeDup, substring spans, hashed
+    # classifier, domain cap (curation.py).
+    "semdedup_prune",
+    "dedup_substring_spans",
+    "quality_classifier_hashed",
+    "domain_cap_documents",
     # ---- end of the ~50-entry driver window ----
     # First-time candidates displaced by the round-3 additions; rotate
     # into the round-4 window (locally oracle-verified meanwhile).
+    "events_sliding_window",
+    "events_sessionize_batch",
+    "events_debounce",
+    "events_stateful_counts",
+    "agg_corr_covar",
+    "agg_listagg_sorted",
+    "udf_arrow_optimized",
+    "udf_apply_in_arrow",
     "q8_market_share",
     "set_intersect_all",
     "udf_row_strmap",
@@ -214,6 +224,7 @@ def _load_all() -> None:
     from mapreducecore_spark.queries import (  # noqa: F401
         llm,
         pipeline,
+        curation,
         streaming_live,
         streaming_batch,
         udfs,

@@ -1,0 +1,346 @@
+"""Corpus-curation operators, round 3 part 3: semantic dedup
+(SemDeDup), substring-span dedup (Lee et al. 2022 style), a hashed
+linear quality classifier (fastText-shaped), and per-domain document
+caps.
+
+Reference has no analogue (its only data operators are S1-S6/D1-D7,
+`mr_tasks.h:43-121` / `worker.h:73-160`); these extend the [EXT]
+LLM-data-pipeline surface of SURVEY.md §2.D with the remaining
+curation stages a 100 TB training pipeline runs:
+
+- SemDeDup (Abbas et al. 2023): cluster embeddings with k-means, then
+  prune within-cluster pairs above a cosine threshold. Candidate
+  generation is quadratic only WITHIN a cluster; K is chosen ~ n/1000
+  at scale so cluster width stays bounded — the cross-cluster O(n^2)
+  never materializes. Centroids broadcast; one shuffle on centroid_id.
+- Substring-span dedup (Lee et al., "Deduplicating Training Data Makes
+  Language Models Better"): find maximal token spans whose k-grams all
+  occur in >= 2 distinct documents. The scale shape is an inverted
+  k-gram index joined back 1:1 per (doc, pos) — the join key carries a
+  per-gram boolean, so hot grams CANNOT blow up the output (contrast
+  the pairwise jaccard join, which needs its df cap).
+- Hashed linear classifier: fastText-shaped quality scoring with
+  bucketed unigram features and formula-derived weights — the weight
+  table is pure arithmetic on the bucket id, so scoring is one
+  JVM-side aggregation with NO model broadcast and no Python. Swapping
+  real trained weights in means broadcasting a 2^20-row map — still
+  map-side only.
+- Per-domain cap: keep the top-N documents per source (quality-ordered)
+  — the standard guard against a single crawl domain flooding the
+  training mix. One shuffle keyed by source; a billion-doc domain is
+  the skew case, handled by AQE skew-split plus the two-pass
+  count-then-threshold variant noted in the docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducecore_spark.catalog import load_tables
+from mapreducecore_spark.llm.similarity import COS_DUCK, COS_SPARK
+from mapreducecore_spark.queries import register
+from mapreducecore_spark.queries._util import materialize, spread
+from mapreducecore_spark.queries.llm import _TOKS, _TOKS_DUCK
+
+# ------------------------------------------------------------ SemDeDup
+
+_SEM_K = 8  # seed centroids (lowest vec_ids); K ~ n/1000 at scale
+_SEM_T = 0.4  # cosine prune threshold (matches data's near-dup band)
+
+# |a-c|^2 argmin == argmin(|a|^2 - 2 a.c + |c|^2); ROUND pins the
+# cross-engine tie landscape exactly like kmeans_assign_seeded.
+_D2_SPARK = (
+    "ROUND(aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    " - 2 * aggregate(zip_with(emb, c_emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    " + c_norm2, 5)"
+)
+_D2_DUCK = (
+    "ROUND(list_inner_product(emb, emb) - 2 * list_inner_product(emb, c_emb) + c_norm2, 5)"
+)
+
+_SEMDEDUP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb,
+                 list_inner_product(emb, emb) AS c_norm2
+          FROM e WHERE vec_id < {_SEM_K}),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_D2_DUCK}, c.centroid_id) AS rn
+        FROM e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    pruned AS (
+      SELECT b.vec_id, MIN(a.vec_id) AS pruned_by
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE ROUND({COS_DUCK.format(a="ea.emb", b="eb.emb")}, 6) >= {_SEM_T}
+      GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, s.centroid_id, p.vec_id IS NULL AS kept, p.pruned_by
+    FROM assigned s LEFT JOIN pruned p ON p.vec_id = s.vec_id
+"""
+
+
+@register("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its
+    nearest seed centroid, then within each cluster prune any vector
+    that has a lower-id neighbor with cosine >= threshold (keep-lowest
+    -id — deterministic stand-in for the paper's keep-one-per-group).
+    Output: every vec_id with its cluster, kept flag, and the keeper
+    that shadows it.
+
+    Scale shape: the K centroids broadcast (argmin is a codegen'd fold
+    per row, big side never shuffles for assignment); the prune join
+    shuffles once on centroid_id and is quadratic only within a
+    cluster — K grows with the corpus (paper: K ~ n/1000) so cluster
+    width, and with it the pair count, stays bounded. An oversized
+    degenerate cluster gets the same star-edge treatment as the
+    MinHash band join (llm.py:_MINHASH_MAX_BUCKET) if needed —
+    keep-lowest-id only requires each vec to see its smallest
+    above-threshold neighbor, which star edges preserve when the rep
+    is the cluster min."""
+    t = load_tables(spark, sf_dir)
+    e = spread(t["embeddings"]).selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    c = e.filter(F.col("vec_id") < _SEM_K).selectExpr(
+        "vec_id AS centroid_id",
+        "emb AS c_emb",
+        "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS c_norm2",
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    assigned = materialize(
+        e.crossJoin(F.broadcast(c))
+        .selectExpr("vec_id", "emb", "centroid_id", f"{_D2_SPARK} AS d2")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "centroid_id", "emb")
+    )
+    a = assigned.selectExpr("vec_id AS id_a", "centroid_id", "emb AS emb_a")
+    b = assigned.selectExpr("vec_id AS id_b", "centroid_id", "emb AS emb_b")
+    cos = COS_SPARK.format(a="emb_a", b="emb_b")
+    pruned = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(f"ROUND({cos}, 6) >= {_SEM_T}"))
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("pruned_by"))
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("pruned_by").isNull().alias("kept"),
+            "pruned_by",
+        )
+    )
+
+
+# ------------------------------------------- substring-span dedup
+
+_SPAN_K = 5  # k-gram width (tokens)
+
+_SPAN_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks) - {_SPAN_K - 1})) AS pos,
+             toks
+      FROM docs WHERE len(toks) >= {_SPAN_K}
+    ), g AS (
+      SELECT doc_id, pos,
+             concat_ws(' ', {", ".join(f"list_extract(toks, pos + {j})" for j in range(_SPAN_K))}) AS gram
+      FROM grams
+    ), dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.pos,
+             g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+      FROM g JOIN dup USING (gram)
+    )
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) + {_SPAN_K - 1} AS span_end,
+           MAX(pos) + {_SPAN_K} - MIN(pos) AS span_tokens,
+           COUNT(*) AS n_grams
+    FROM hits GROUP BY doc_id, grp
+"""
+
+
+@register("dedup_substring_spans", oracle=_SPAN_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2022, k-gram form): maximal
+    token spans whose every k-gram occurs in >= 2 distinct documents —
+    the spans an exact-substring dedup pass would cut from the
+    training mix (doc-level near-dup misses these when two long
+    documents share only a paragraph). Gaps-and-islands merge:
+    duplicated k-gram start positions, grouped by pos - row_number.
+
+    Scale shape: inverted k-gram index (one groupBy on gram with
+    map-side partial distinct), joined back to the position table on
+    gram. The dup side carries exactly one row per duplicated gram, so
+    the join is 1:1 per (doc, pos) — a boilerplate gram in 10k docs
+    produces 10k rows total, NOT 10k^2 (contrast the pairwise jaccard
+    join and its df cap). The island merge is one window + one
+    aggregate, both keyed by doc_id."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
+    g = (
+        docs.filter(F.expr(f"size(toks) >= {_SPAN_K}"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.expr(f"sequence(1, size(toks) - {_SPAN_K - 1})")).alias("pos"),
+        )
+        .selectExpr(
+            "doc_id",
+            "pos",
+            "concat_ws(' ', "
+            + ", ".join(f"element_at(toks, pos + {j})" for j in range(_SPAN_K))
+            + ") AS gram",
+        )
+    )
+    g = materialize(g)
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (_SPAN_K - 1)).alias("span_end"),
+            (F.max("pos") + _SPAN_K - F.min("pos")).alias("span_tokens"),
+            F.count("*").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
+    )
+
+
+# --------------------------------------- hashed linear classifier
+
+_CLS_BUCKETS = 1024
+# w(bucket) = ((bucket * 2654435761) % 2001 - 1000) / 1000 in [-1, 1]:
+# a deterministic stand-in for trained fastText weights (Knuth
+# multiplicative hash spreads buckets uniformly). Integer arithmetic
+# end-to-end until the final divide, so both engines agree exactly.
+_CLS_WMUL = 2654435761
+_CLS_WMOD = 2001
+
+_CLS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {_CLS_BUCKETS} AS bucket
+      FROM toks
+    ), scored AS (
+      SELECT doc_id,
+             COUNT(*) AS n_toks,
+             SUM((bucket * {_CLS_WMUL}) % {_CLS_WMOD} - 1000) AS w_sum
+      FROM feats GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_toks, 0) AS n_toks,
+           ROUND(1.0 / (1.0 + exp(-(COALESCE(s.w_sum, 0) / (1000.0 * GREATEST(COALESCE(s.n_toks, 0), 1))))), 6) AS score,
+           ROUND(1.0 / (1.0 + exp(-(COALESCE(s.w_sum, 0) / (1000.0 * GREATEST(COALESCE(s.n_toks, 0), 1))))), 6) >= 0.5 AS keep
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+@register("quality_classifier_hashed", oracle=_CLS_ORACLE)
+def quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped quality classifier: hash each token into one of
+    1024 buckets (md5, same 60-bit trick as the minhash stage), score a
+    document as sigmoid(mean bucket weight), keep if score >= 0.5.
+    Weights here are formula-derived (deterministic stand-in for a
+    trained model) so the whole scorer is arithmetic — swapping real
+    weights in means one broadcast map lookup, still JVM-side.
+
+    Scale shape: explode -> map-side partial SUM/COUNT -> one shuffle
+    keyed by doc_id; the weight "table" costs nothing (pure
+    expression). Zero-token docs survive the LEFT JOIN with
+    score = sigmoid(0) = 0.5 — the same empty-token guard the gopher
+    oracle needed (ADVICE r2)."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"])
+    feats = docs.selectExpr("doc_id", f"explode({_TOKS}) AS token").selectExpr(
+        "doc_id",
+        f"CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) % {_CLS_BUCKETS} AS bucket",
+    )
+    scored = feats.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.sum(F.expr(f"(bucket * {_CLS_WMUL}) % {_CLS_WMOD} - 1000")).alias("w_sum"),
+    )
+    score = (
+        "ROUND(1.0 / (1.0 + exp(-(COALESCE(w_sum, 0) / "
+        "(1000.0 * GREATEST(COALESCE(n_toks, 0), 1))))), 6)"
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "COALESCE(n_toks, 0) AS n_toks",
+            f"{score} AS score",
+            f"{score} >= 0.5 AS keep",
+        )
+    )
+
+
+# ------------------------------------------------ per-domain cap
+
+_DOMAIN_CAP = 15  # keep top-N docs per source (quality-ordered)
+
+_DOMAIN_ORACLE = f"""
+    SELECT doc_id, source, rank, rank <= {_DOMAIN_CAP} AS kept FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents
+    )
+"""
+
+
+@register("domain_cap_documents", oracle=_DOMAIN_ORACLE)
+def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: rank each source's documents by a
+    quality proxy (n_chars DESC, doc_id tiebreak) and keep the top
+    _DOMAIN_CAP — the standard guard against one crawl domain flooding
+    the mix. Emits every doc with its rank and kept flag so the
+    dropped set is auditable.
+
+    Scale shape: one shuffle keyed by source. A mega-domain (billions
+    of docs behind one key) is the skew case: AQE skew-split spreads
+    the sort, and when even that is too hot the two-pass variant —
+    aggregate per-source counts, then keep rows whose (n_chars,
+    doc_id) clears the domain's cap-th order statistic from an
+    approx_percentile pass — avoids the full per-domain sort; the
+    rank-based form here is the exact semantics both variants must
+    reproduce."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        t["documents"]
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            "rank",
+            (F.col("rank") <= _DOMAIN_CAP).alias("kept"),
+        )
+    )

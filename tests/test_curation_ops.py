@@ -1,0 +1,215 @@
+"""Round-3 part-3 curation operators: crafted-input parity + semantic
+assertions for SemDeDup, substring-span dedup, the hashed classifier,
+and the per-domain cap.
+
+Crafted cases target the degenerate inputs each operator must survive:
+zero-norm embeddings inside a cluster (cos NULL -> never pruned),
+identical vectors split across seed-centroid clusters (no cross-cluster
+prune by design), docs shorter than the k-gram width, multiple disjoint
+duplicated spans in one document, zero-token documents through the
+classifier (sigmoid(0) = 0.5), and quality ties in the domain cap
+(doc_id tiebreak)."""
+
+from __future__ import annotations
+
+import math
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mapreducecore_spark.queries import REGISTRY, _load_all
+
+_load_all()
+
+_DIM = 64
+
+
+def _vec(**coords: float) -> list[float]:
+    v = [0.0] * _DIM
+    for k, x in coords.items():
+        v[int(k[1:])] = x
+    return v
+
+
+# Seed centroids are vec_id < 8 (each its own cluster); 8+ exercise the
+# prune logic.
+_EMB = [
+    (0, _vec(d0=1.0), 1),
+    (1, _vec(d0=2.0), 1),  # scaled copy of v0 but its OWN centroid
+    (2, _vec(d1=1.0), 2),
+    (3, _vec(d0=-1.0), 2),
+    (4, [0.0] * _DIM, 3),  # zero centroid
+    (5, _vec(d0=1.0, d1=1.0), 3),
+    (6, _vec(d2=1.0, d3=2.0), 1),
+    (7, _vec(d7=1.0), 2),
+    (8, _vec(d0=3.0), 1),  # -> cluster 1; cos(v8, v1) = 1 -> pruned by 1
+    (9, _vec(d0=2.5), 1),  # -> cluster 1; pruned by min neighbor = 1
+    (10, [0.0] * _DIM, 3),  # second zero vector -> cluster 4, cos NULL, kept
+    (11, _vec(d1=0.9), 2),  # -> cluster 2; cos(v11, v2) = 1 -> pruned by 2
+]
+
+# (doc_id, text, source): spans docs 0-3, cap docs 10-29, empties 30-31.
+_DOCS = (
+    [
+        (0, "a b c d e f g h i j", "spans"),
+        (1, "a b c d e f g h x y", "spans"),
+        (2, "p q r s", "spans"),  # < k tokens: no grams, no spans
+        (3, "m n o p q a b c d e z z1 z2 z3 f g h i j k", "spans"),
+    ]
+    + [(10 + i, f"cap doc w{i}", "caps") for i in range(20)]
+    + [
+        (30, "", "empty"),  # zero tokens
+        (31, "... ,,''", "empty"),  # only delimiters -> zero tokens
+    ]
+)
+
+_OPS = [
+    "semdedup_prune",
+    "dedup_substring_spans",
+    "quality_classifier_hashed",
+    "domain_cap_documents",
+]
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("crafted_curation")
+    for name in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        shutil.copy(f"{sf_dir}/{name}.parquet", root / f"{name}.parquet")
+    docs = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in _DOCS], pa.int64()),
+            "text": pa.array([d[1] for d in _DOCS], pa.string()),
+            "lang": pa.array(["en"] * len(_DOCS), pa.string()),
+            "source": pa.array([d[2] for d in _DOCS], pa.string()),
+            "n_chars": pa.array([len(d[1]) for d in _DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(docs, root / "documents.parquet")
+    emb = pa.table(
+        {
+            "vec_id": pa.array([e[0] for e in _EMB], pa.int64()),
+            "embedding": pa.array([e[1] for e in _EMB], pa.list_(pa.float32())),
+            "label": pa.array([e[2] for e in _EMB], pa.int32()),
+        }
+    )
+    pq.write_table(emb, root / "embeddings.parquet")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def crafted_duck(crafted_dir):
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{crafted_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else repr(round(v, 9)))
+            elif v is None:
+                vals.append("NULL")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", _OPS)
+def test_crafted_curation_parity(name, spark, crafted_dir, crafted_duck):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, crafted_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    rel = crafted_duck.sql(spec.oracle)
+    duck_rows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rows spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns = _normalize(spark_rows, sdf.columns)
+    nd = _normalize(duck_rows, rel.columns)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: first mismatch {mismatches[0]}"
+
+
+def test_semdedup_prune_semantics(spark, crafted_dir):
+    """v8/v9 land in v1's cluster and are shadowed by it; identical
+    copies split across centroid clusters (v0 vs v1) are NOT pruned
+    (documented SemDeDup semantics — within-cluster only); zero
+    vectors never prune each other (cos NULL)."""
+    rows = {r["vec_id"]: r for r in REGISTRY["semdedup_prune"].fn(spark, crafted_dir).collect()}
+    assert not rows[8]["kept"] and rows[8]["pruned_by"] == 1
+    assert not rows[9]["kept"] and rows[9]["pruned_by"] == 1
+    assert not rows[11]["kept"] and rows[11]["pruned_by"] == 2
+    assert rows[0]["kept"] and rows[1]["kept"]  # cross-cluster copies
+    assert rows[4]["kept"] and rows[10]["kept"]  # zero vectors
+    assert rows[10]["centroid_id"] == 4  # both zeros share cluster 4
+
+
+def test_substring_spans_semantics(spark, crafted_dir):
+    """Doc 1 shares its 8-token prefix with doc 0 -> one island of 4
+    grams spanning tokens 1..8. Doc 3 shares two disjoint 5-token runs
+    -> two islands. Doc 2 is shorter than k -> absent. Cap docs are
+    3-token docs -> absent."""
+    spans = {}
+    for r in REGISTRY["dedup_substring_spans"].fn(spark, crafted_dir).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"], r["n_grams"])
+        )
+    assert spans[1] == [(1, 8, 8, 4)]
+    assert sorted(spans[3]) == [(6, 10, 5, 1), (15, 19, 5, 1)]
+    assert sorted(spans[0]) == [(1, 8, 8, 4), (6, 10, 5, 1)]
+    assert 2 not in spans and 10 not in spans
+
+
+def test_classifier_zero_token_docs(spark, crafted_dir):
+    """Zero-token docs (empty / all-delimiter text) score exactly
+    sigmoid(0) = 0.5 and are kept — no NULL/NaN leakage."""
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["quality_classifier_hashed"].fn(spark, crafted_dir).collect()
+    }
+    for did in (30, 31):
+        assert rows[did]["n_toks"] == 0
+        assert rows[did]["score"] == 0.5
+        assert rows[did]["keep"] is True
+    assert len(rows) == len(_DOCS)
+
+
+def test_domain_cap_tiebreak(spark, crafted_dir):
+    """The 20 'caps' docs have distinct n_chars except the single-digit
+    group; ranks are total via the doc_id tiebreak and exactly 15 are
+    kept."""
+    rows = [
+        r
+        for r in REGISTRY["domain_cap_documents"].fn(spark, crafted_dir).collect()
+        if r["source"] == "caps"
+    ]
+    assert len(rows) == 20
+    kept = [r for r in rows if r["kept"]]
+    assert len(kept) == 15
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, 21))
+    # ties: docs 10..19 all have n_chars == len('cap doc wN') equal for
+    # single-digit N -> doc_id ascending within the tie
+    tied = sorted(
+        (r for r in rows if r["doc_id"] in range(10, 20)), key=lambda r: r["rank"]
+    )
+    assert [r["doc_id"] for r in tied] == sorted(r["doc_id"] for r in tied)

@@ -310,3 +310,73 @@ def test_token_entropy_single_scan_no_exchange(spark, sf_dir):
     """quality_token_entropy's fold is per-row: no shuffle anywhere."""
     plan = plan_of(REGISTRY["quality_token_entropy"].fn(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_semdedup_broadcasts_centroids_only(spark, sf_dir):
+    """semdedup_prune: the intra-cluster prune join must be an
+    equi-join on centroid_id — a cartesian there is O(n^2) across
+    clusters. (The K-centroid assignment cross-join sits behind the
+    localCheckpoint, so it is asserted on the unmaterialized
+    assignment subplan: broadcast nested loop over the tiny centroid
+    set, never CartesianProduct.)"""
+    plan = plan_of(REGISTRY["semdedup_prune"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "centroid_id" in plan and "Join" in plan
+
+    # Rebuild the assignment stage sans materialize to see its join.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducecore_spark.catalog import load_tables
+    from mapreducecore_spark.queries.curation import _D2_SPARK, _SEM_K
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    c = e.filter(F.col("vec_id") < _SEM_K).selectExpr(
+        "vec_id AS centroid_id",
+        "emb AS c_emb",
+        "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS c_norm2",
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .selectExpr("vec_id", "emb", "centroid_id", f"{_D2_SPARK} AS d2")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+    )
+    aplan = plan_of(assigned)
+    assert "BroadcastNestedLoopJoin" in aplan
+    assert "CartesianProduct" not in aplan
+
+
+def test_substring_spans_equijoin_on_gram(spark, sf_dir):
+    """dedup_substring_spans: the inverted-index join back must be an
+    equi-join on gram (1:1 per (doc, pos) — hot grams cannot blow up),
+    with the distinct-doc df count partial-aggregated map-side."""
+    plan = plan_of(REGISTRY["dedup_substring_spans"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "gram" in plan and "Join" in plan
+
+
+def test_classifier_partial_agg_and_pruning(spark, sf_dir):
+    """quality_classifier_hashed: token features partial-agg map-side
+    into one (doc_id) shuffle; untouched lang/source/n_chars columns
+    never reach the scan."""
+    plan = plan_of(REGISTRY["quality_classifier_hashed"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+    for line in (l for l in plan.splitlines() if "ReadSchema" in l):
+        assert "source" not in line and "n_chars" not in line
+
+
+def test_domain_cap_single_shuffle(spark, sf_dir):
+    """domain_cap_documents: exactly ONE exchange (hashpartitioning on
+    source) feeding the rank window; text never read."""
+    plan = plan_of(REGISTRY["domain_cap_documents"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1, plan
+    full = plan_of(REGISTRY["domain_cap_documents"].fn(spark, sf_dir))
+    read_schema = [l for l in full.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
