@@ -117,6 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     # ---- end of the ~50-entry driver window ----
     # First-time candidates displaced by the round-3 additions; rotate
     # into the round-4 window (locally oracle-verified meanwhile).
+    "minhash_estimate_accuracy",
+    "maintenance_compact_small_files",
     "events_sliding_window",
     "events_sessionize_batch",
     "events_debounce",

@@ -38,14 +38,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducecore_spark.catalog import load_tables
-from mapreducecore_spark.llm.similarity import COS_DUCK, COS_SPARK
 from mapreducecore_spark.queries import register
 from mapreducecore_spark.queries._util import materialize, spread
 from mapreducecore_spark.queries.llm import _TOKS, _TOKS_DUCK
 
 # ------------------------------------------------------------ SemDeDup
 
-_SEM_K = 8  # seed centroids (lowest vec_ids); K ~ n/1000 at scale
+# K scales with the corpus (paper: K ~ n/1000; here n/250 so test SFs
+# keep K >= 8): cluster width — and with it the intra-cluster pair
+# count — stays ~constant per cluster, so total pairs grow LINEARLY in
+# n. The first 10x sweep ran with a fixed K=8 and clocked 30x at 10x
+# data (clusters grew 10x -> pairs 100x): the same quadratic class as
+# the unguarded LSH buckets, fixed at the source by scaling K.
+_SEM_MIN_K = 8
+_SEM_DOCS_PER_CLUSTER = 250
 _SEM_T = 0.4  # cosine prune threshold (matches data's near-dup band)
 
 # |a-c|^2 argmin == argmin(|a|^2 - 2 a.c + |c|^2); ROUND pins the
@@ -59,12 +65,29 @@ _D2_DUCK = (
     "ROUND(list_inner_product(emb, emb) - 2 * list_inner_product(emb, c_emb) + c_norm2, 5)"
 )
 
+# Per-pair cosine from precomputed norms (one fold per PAIR instead of
+# three): dot(a, b) / (|a| * |b|), zero norms -> NULL in both engines.
+_PAIR_COS_SPARK = (
+    "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    " / nullif(nrm_a * nrm_b, CAST(0 AS DOUBLE))"
+)
+_PAIR_COS_DUCK = (
+    "list_inner_product(ea.emb, eb.emb) / nullif(ea.nrm * eb.nrm, 0)"
+)
+
 _SEMDEDUP_ORACLE = f"""
-    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                      sqrt(list_inner_product(
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
                FROM embeddings),
+    k AS (SELECT GREATEST({_SEM_MIN_K},
+                          CAST(CEIL(COUNT(*) / {_SEM_DOCS_PER_CLUSTER}.0) AS BIGINT)) AS k
+          FROM e),
     c AS (SELECT vec_id AS centroid_id, emb AS c_emb,
                  list_inner_product(emb, emb) AS c_norm2
-          FROM e WHERE vec_id < {_SEM_K}),
+          FROM e WHERE vec_id < (SELECT k FROM k)),
     assigned AS (
       SELECT vec_id, centroid_id FROM (
         SELECT e.vec_id, c.centroid_id,
@@ -79,7 +102,7 @@ _SEMDEDUP_ORACLE = f"""
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
       JOIN e ea ON ea.vec_id = a.vec_id
       JOIN e eb ON eb.vec_id = b.vec_id
-      WHERE ROUND({COS_DUCK.format(a="ea.emb", b="eb.emb")}, 6) >= {_SEM_T}
+      WHERE ROUND({_PAIR_COS_DUCK}, 6) >= {_SEM_T}
       GROUP BY b.vec_id
     )
     SELECT s.vec_id, s.centroid_id, p.vec_id IS NULL AS kept, p.pruned_by
@@ -99,18 +122,29 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the K centroids broadcast (argmin is a codegen'd fold
     per row, big side never shuffles for assignment); the prune join
     shuffles once on centroid_id and is quadratic only within a
-    cluster — K grows with the corpus (paper: K ~ n/1000) so cluster
-    width, and with it the pair count, stays bounded. An oversized
-    degenerate cluster gets the same star-edge treatment as the
-    MinHash band join (llm.py:_MINHASH_MAX_BUCKET) if needed —
-    keep-lowest-id only requires each vec to see its smallest
-    above-threshold neighbor, which star edges preserve when the rep
-    is the cluster min."""
+    cluster — K = max(8, ceil(n / 250)) grows with the corpus (the
+    paper's own knob) so cluster width, and with it the total pair
+    count, stays LINEAR in n; the first 10x sweep with a fixed K=8
+    measured 30x and motivated this. Norms are precomputed per vector,
+    so each candidate pair costs ONE array fold (the dot product), not
+    three. The K-scaling also bounds the assignment stage: at true
+    100 TB scale assignment itself goes approximate (IVF over the
+    centroid set, ann_ivf_trained's shape) — exact argmin here is the
+    semantics that variant must reproduce."""
     t = load_tables(spark, sf_dir)
     e = spread(t["embeddings"]).selectExpr(
-        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
+    ).selectExpr(
+        "vec_id",
+        "emb",
+        "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm",
     )
-    c = e.filter(F.col("vec_id") < _SEM_K).selectExpr(
+    # Single driver-side scalar (accepted pattern, cf. pipeline.py
+    # n_docs): K must be known to pick the centroid set.
+    n_vecs = t["embeddings"].count()
+    k = max(_SEM_MIN_K, -(-n_vecs // _SEM_DOCS_PER_CLUSTER))
+    c = e.filter(F.col("vec_id") < k).selectExpr(
         "vec_id AS centroid_id",
         "emb AS c_emb",
         "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS c_norm2",
@@ -118,18 +152,21 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
     assigned = materialize(
         e.crossJoin(F.broadcast(c))
-        .selectExpr("vec_id", "emb", "centroid_id", f"{_D2_SPARK} AS d2")
+        .selectExpr("vec_id", "emb", "nrm", "centroid_id", f"{_D2_SPARK} AS d2")
         .withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
-        .select("vec_id", "centroid_id", "emb")
+        .select("vec_id", "centroid_id", "emb", "nrm")
     )
-    a = assigned.selectExpr("vec_id AS id_a", "centroid_id", "emb AS emb_a")
-    b = assigned.selectExpr("vec_id AS id_b", "centroid_id", "emb AS emb_b")
-    cos = COS_SPARK.format(a="emb_a", b="emb_b")
+    a = assigned.selectExpr(
+        "vec_id AS id_a", "centroid_id", "emb AS emb_a", "nrm AS nrm_a"
+    )
+    b = assigned.selectExpr(
+        "vec_id AS id_b", "centroid_id", "emb AS emb_b", "nrm AS nrm_b"
+    )
     pruned = (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.expr(f"ROUND({cos}, 6) >= {_SEM_T}"))
+        .filter(F.expr(f"ROUND({_PAIR_COS_SPARK}, 6) >= {_SEM_T}"))
         .groupBy(F.col("id_b").alias("vec_id"))
         .agg(F.min("id_a").alias("pruned_by"))
     )

@@ -437,6 +437,134 @@ def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_EST_ORACLE = f"""
+    WITH cand AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+    docs3 AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest({_shingles_duck(3)})), 1, 15)) AS BIGINT) AS h
+      FROM docs3 WHERE len(toks) >= 3
+    ), mh AS (
+      SELECT doc_id,
+             {", ".join(f"MIN({_mh_formula('h', s)}) AS mh{s}" for s in range(_MINHASH_SEEDS))}
+      FROM sh GROUP BY doc_id
+    ), sh3 AS (
+      SELECT doc_id, unnest({_shingles_duck(3)}) AS shingle
+      FROM docs3 WHERE len(toks) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh3 a ON a.doc_id = c.doc_a
+      JOIN sh3 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ), est AS (
+      SELECT c.doc_a, c.doc_b,
+             ({" + ".join(f"CASE WHEN ma.mh{s} = mb.mh{s} THEN 1 ELSE 0 END" for s in range(_MINHASH_SEEDS))})
+               / CAST({_MINHASH_SEEDS} AS DOUBLE) AS est_jaccard
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.doc_a
+      JOIN mh mb ON mb.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           ROUND(e.est_jaccard, 6) AS est_jaccard,
+           ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0)), 6) AS true_jaccard,
+           ROUND(ABS(e.est_jaccard
+                 - CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0))), 6) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+"""
+
+
+@register("minhash_estimate_accuracy", oracle=_MH_EST_ORACLE)
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-quality eval (completes the eval trio with
+    dedup_candidate_recall and ann_recall_eval): for every guarded LSH
+    candidate pair, the Jaccard ESTIMATE from 8-minhash agreement
+    (fraction of seeds where the signatures match — the unbiased
+    MinHash estimator, Broder 1997) next to the exact shingle-set
+    Jaccard and their absolute error. This is how a production
+    pipeline signs off a signature width before trusting estimated
+    similarity at 100 TB, where exact verification of every pair is
+    unaffordable.
+
+    Scale shape: signatures = one map-side-partial aggregation (same
+    single shuffle as dedup_minhash_lsh); the exact side joins
+    shingles only for CANDIDATE docs (linear in candidates, cf.
+    dedup_lsh_verified_pairs); the estimate join carries 8 ints per
+    doc. Star-edge pairs from oversized buckets are scored like any
+    other candidate."""
+    cand = materialize(dedup_minhash_lsh(spark, sf_dir))
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
+    shh = (
+        docs.filter(F.expr("size(toks) >= 3"))
+        .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
+    )
+    shh = materialize(shh)
+    mh = (
+        shh.selectExpr(
+            "doc_id",
+            "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h",
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.expr(_mh_formula("h", s))).alias(f"mh{s}")
+                for s in range(_MINHASH_SEEDS)
+            ]
+        )
+    )
+    sizes = shh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b_id")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ma = mh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(_MINHASH_SEEDS)])
+    mb = mh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(_MINHASH_SEEDS)])
+    est_expr = (
+        "("
+        + " + ".join(
+            f"CASE WHEN a{s} = b{s} THEN 1 ELSE 0 END" for s in range(_MINHASH_SEEDS)
+        )
+        + f") / CAST({_MINHASH_SEEDS} AS DOUBLE)"
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+        / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_common"), F.lit(0)))
+    )
+    return (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .withColumn("est_jaccard_raw", F.expr(est_expr))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est_jaccard_raw", 6).alias("est_jaccard"),
+            F.round(jac, 6).alias("true_jaccard"),
+            F.round(F.abs(F.col("est_jaccard_raw") - jac), 6).alias("abs_err"),
+        )
+    )
+
+
 _COMPONENTS_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
     edges AS (

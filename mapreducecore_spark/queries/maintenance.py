@@ -159,3 +159,66 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# ----------------------------------------- small-file compaction
+
+# The "small files problem": a streaming or over-partitioned writer
+# leaves thousands of KB-sized parquet files; every scan then pays
+# per-file open/footer cost and the file index balloons. Compaction
+# rewrites them into row-count-targeted files.
+_COMPACT_SMALL_FILES = 64
+_COMPACT_TARGET_ROWS = 4096
+
+_COMPACT_ORACLE = f"""
+    SELECT CAST({_COMPACT_SMALL_FILES} AS BIGINT) AS n_files_before,
+           CAST(CEIL(COUNT(*) / {_COMPACT_TARGET_ROWS}.0) AS BIGINT) AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+    FROM orders
+"""
+
+
+@register("maintenance_compact_small_files", oracle=_COMPACT_ORACLE)
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as an operator: scatter `orders` into 64
+    deliberately tiny parquet files, then rewrite into
+    ceil(rows / 4096) right-sized files, reporting before/after file
+    counts plus row count and an exact content checksum (decimal sum)
+    proving the rewrite lost nothing. The oracle states the CONTRACT:
+    file counts are deterministic functions of the row count, and the
+    content aggregates must equal the source table's.
+
+    Scale notes: the rewrite is one round-robin repartition — a single
+    full shuffle, the price of exact output sizing. At 100 TB the
+    knobs change, not the shape: target by bytes (file bytes / avg row
+    width), compact per partition-directory so only hot partitions
+    rewrite, or skip the shuffle entirely with
+    `write.option("maxRecordsPerFile", N)` when approximate sizing is
+    acceptable (file count then depends on input layout, which is why
+    the deterministic contract here uses repartition)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="mrc_compact_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    small_dir, compact_dir = f"{scratch}/small", f"{scratch}/compact"
+    orders = t["orders"].select("o_orderkey", "o_totalprice")
+    orders.repartition(_COMPACT_SMALL_FILES).write.mode("overwrite").parquet(small_dir)
+    small = spark.read.parquet(small_dir)
+    n_before = len(small.inputFiles())
+    n_rows = small.count()
+    n_target = -(-n_rows // _COMPACT_TARGET_ROWS)
+    small.repartition(n_target).write.mode("overwrite").parquet(compact_dir)
+    compact = spark.read.parquet(compact_dir)
+    n_after = len(compact.inputFiles())
+    return compact.agg(
+        F.lit(n_before).cast("bigint").alias("n_files_before"),
+        F.lit(n_after).cast("bigint").alias("n_files_after"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_totalprice"),
+    )

@@ -328,13 +328,13 @@ def test_semdedup_broadcasts_centroids_only(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from mapreducecore_spark.catalog import load_tables
-    from mapreducecore_spark.queries.curation import _D2_SPARK, _SEM_K
+    from mapreducecore_spark.queries.curation import _D2_SPARK, _SEM_MIN_K
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
     )
-    c = e.filter(F.col("vec_id") < _SEM_K).selectExpr(
+    c = e.filter(F.col("vec_id") < _SEM_MIN_K).selectExpr(
         "vec_id AS centroid_id",
         "emb AS c_emb",
         "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS c_norm2",
@@ -380,3 +380,41 @@ def test_domain_cap_single_shuffle(spark, sf_dir):
     full = plan_of(REGISTRY["domain_cap_documents"].fn(spark, sf_dir))
     read_schema = [l for l in full.splitlines() if "ReadSchema" in l][0]
     assert "text" not in read_schema
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime row-level filtering: with a selective dimension filter
+    on the creation side of a shuffle join, Catalyst injects a Bloom
+    filter that prunes fact rows BEFORE the exchange — the 100 TB
+    technique for joins too big to broadcast. Thresholds are lowered
+    to trigger at test scale; the assertion is that the engine's plan
+    carries the bloom stage (bloom_filter_agg / BloomFilterMightContain)
+    when the conditions hold."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter("c_custkey % 50 = 0")
+        plan = plan_of(o.join(c, o["o_custkey"] == c["c_custkey"]))
+        assert "bloom" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
