@@ -213,3 +213,181 @@ def test_domain_cap_tiebreak(spark, crafted_dir):
         (r for r in rows if r["doc_id"] in range(10, 20)), key=lambda r: r["rank"]
     )
     assert [r["doc_id"] for r in tied] == sorted(r["doc_id"] for r in tied)
+
+
+def _rand_docs_root(sf_dir, tmp_path_factory, docs, name):
+    import pandas as pd
+
+    root = tmp_path_factory.mktemp(name)
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{sf_dir}/{t}.parquet", root / f"{t}.parquet")
+    pdf = pd.DataFrame(
+        [(d, t, "en", "srcR", len(t)) for d, t in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(root / "documents.parquet", index=False)
+    return str(root)
+
+
+def test_random_corpus_substring_spans_vs_python_reference(
+    spark, sf_dir, tmp_path_factory
+):
+    """Differential test: a seeded random corpus (small vocab so
+    5-grams collide across docs, plus planted shared paragraphs) run
+    through dedup_substring_spans must match an independent pure-Python
+    implementation of the duplicated-gram island merge."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for did in range(50):
+        n = rng.randint(0, 30)
+        docs.append((did, " ".join(rng.choice(vocab) for _ in range(n))))
+    # Planted shared paragraph inside otherwise-random text.
+    para = "alpha beta gamma delta epsilon zeta eta"
+    for did in range(50, 56):
+        pre = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6)))
+        post = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6)))
+        docs.append((did, " ".join(x for x in (pre, para, post) if x)))
+
+    K = 5
+    grams = {}  # gram -> set of doc_ids
+    per_doc = {}  # doc_id -> [(pos, gram)]
+    for did, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        pg = []
+        for p in range(1, len(toks) - K + 2):
+            g = " ".join(toks[p - 1 : p + K - 1])
+            pg.append((p, g))
+            grams.setdefault(g, set()).add(did)
+        per_doc[did] = pg
+    expect = set()
+    for did, pg in per_doc.items():
+        dup_pos = sorted(p for p, g in pg if len(grams[g]) >= 2)
+        island = []
+        for p in dup_pos:
+            if island and p == island[-1] + 1:
+                island.append(p)
+            else:
+                if island:
+                    expect.add(
+                        (did, island[0], island[-1] + K - 1,
+                         island[-1] + K - island[0], len(island))
+                    )
+                island = [p]
+        if island:
+            expect.add(
+                (did, island[0], island[-1] + K - 1,
+                 island[-1] + K - island[0], len(island))
+            )
+
+    root = _rand_docs_root(sf_dir, tmp_path_factory, docs, "rand_spans")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_grams"])
+        for r in REGISTRY["dedup_substring_spans"].fn(spark, root).collect()
+    }
+    assert got == expect
+
+
+def test_random_corpus_classifier_vs_python_reference(
+    spark, sf_dir, tmp_path_factory
+):
+    """Differential test: the hashed linear classifier on a random
+    corpus must match an independent pure-Python md5-bucket/weight
+    computation to the rounded precision."""
+    import hashlib
+    import random
+    from math import exp
+
+    rng = random.Random(42424242)
+    vocab = [f"tok{i}" for i in range(200)]
+    docs = [(0, ""), (1, "..., '")]  # zero-token docs
+    for did in range(2, 60):
+        n = rng.randint(1, 80)
+        docs.append((did, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    expect = {}
+    for did, text in docs:
+        toks = [t for t in text.replace(",", " ").replace(".", " ").replace("'", " ").split() if t]
+        w_sum = 0
+        for tok in toks:
+            bucket = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 1024
+            w_sum += (bucket * 2654435761) % 2001 - 1000
+        n = len(toks)
+        score = round(1.0 / (1.0 + exp(-(w_sum / (1000.0 * max(n, 1))))), 6)
+        expect[did] = (n, score, score >= 0.5)
+
+    root = _rand_docs_root(sf_dir, tmp_path_factory, docs, "rand_cls")
+    got = {
+        r["doc_id"]: (r["n_toks"], r["score"], r["keep"])
+        for r in REGISTRY["quality_classifier_hashed"].fn(spark, root).collect()
+    }
+    assert got == expect
+
+
+def test_random_embeddings_semdedup_vs_python_reference(
+    spark, sf_dir, tmp_path_factory
+):
+    """Differential test: SemDeDup on seeded random float32 vectors
+    (with planted scaled copies that must prune and a planted zero
+    vector that must not) vs an independent numpy implementation of
+    assign-then-prune."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(20260814)
+    n, dim = 80, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[70] = (2.5 * vecs[3]).astype(np.float32)  # scaled copy of a centroid
+    vecs[71] = (0.5 * vecs[70]).astype(np.float32)  # copy of the copy
+    vecs[72] = np.zeros(dim, dtype=np.float32)  # zero vector
+    v = vecs.astype(np.float64)
+
+    K = max(8, -(-n // 250))
+    cent = v[:K]
+    c_norm2 = (cent * cent).sum(axis=1)
+    d2 = np.round(
+        (v * v).sum(axis=1)[:, None] - 2.0 * (v @ cent.T) + c_norm2[None, :], 5
+    )
+    assigned = d2.argmin(axis=1)  # ties -> lowest centroid id (argmin)
+    nrm = np.sqrt((v * v).sum(axis=1))
+    expect = {}
+    for b in range(n):
+        pruned_by = None
+        for a in range(b):
+            if assigned[a] != assigned[b]:
+                continue
+            denom = nrm[a] * nrm[b]
+            if denom == 0.0:
+                continue  # NULL cosine in both engines
+            if round(float(v[a] @ v[b]) / denom, 6) >= 0.4:
+                pruned_by = a
+                break
+        expect[b] = (int(assigned[b]), pruned_by is None, pruned_by)
+
+    root = tmp_path_factory.mktemp("rand_semdedup")
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        shutil.copy(f"{sf_dir}/{t}.parquet", root / f"{t}.parquet")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(r) for r in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, root / "embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["kept"], r["pruned_by"])
+        for r in REGISTRY["semdedup_prune"].fn(spark, str(root)).collect()
+    }
+    assert got[70] == (3, False, 3) or not got[70][1]  # planted copy pruned
+    assert got[72][1]  # zero vector kept
+    assert got == expect
