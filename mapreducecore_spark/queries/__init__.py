@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     # NEW this round: promoted live joins + trained IVF.
     "stream_live_enrich_static",
     "stream_live_interval_join",
+    "stream_live_cdc_merge",
     "ann_ivf_trained",
     # CHANGED this round (scale guards altered pair semantics).
     "dedup_ngram_jaccard",
@@ -87,7 +88,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_cdc_latest_state",
     "events_scd2_intervals",
     "join_asof_last_order",
-    "join_lateral_topn",
     "join_hint_broadcast_sql",
     "join_left_anti",
     "fuzzy_match_blocked",
@@ -118,6 +118,8 @@ _PRIORITY: tuple[str, ...] = (
     # First-time candidates displaced by the round-3 additions; rotate
     # into the round-4 window (locally oracle-verified meanwhile).
     "minhash_estimate_accuracy",
+    "quality_perplexity_bigram",
+    "join_lateral_topn",
     "maintenance_compact_small_files",
     "events_sliding_window",
     "events_sessionize_batch",

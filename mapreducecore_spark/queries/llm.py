@@ -321,29 +321,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Exact-intersection side computed over per-doc HASHED shingle SETS
+# (one array row per doc) instead of an exploded (doc, shingle) join:
+# the candidate ⋈ shingles row join shuffles candidates x |A| rows —
+# measured 24.6 GB in ONE stage / 14.4x per decade on the 100x sweep
+# for the estimate-accuracy twin — while the array form joins 1:1 per
+# candidate and intersects IN-ROW (array_intersect / list_intersect,
+# both distinct-set semantics). Hashes are the same 60-bit md5 ints
+# the minhash stage uses, identically on both engines, so parity is
+# exact even in the (negligible, deterministic) collision case.
+_SHINGLE_SETS_DUCK = f"""
+      SELECT doc_id,
+             list(DISTINCT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)) AS hs,
+             COUNT(DISTINCT shingle) AS n_sh
+      FROM (
+        SELECT doc_id, unnest({_shingles_duck(3)}) AS shingle
+        FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+        WHERE len(toks) >= 3
+      ) GROUP BY doc_id
+"""
+
 _LSH_VERIFIED_ORACLE = f"""
     WITH cand AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
-    docs3 AS (
-      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
-    ), sh3 AS (
-      SELECT doc_id, unnest({_shingles_duck(3)}) AS shingle
-      FROM docs3 WHERE len(toks) >= 3
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id
-    ), inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+    hs AS ({_SHINGLE_SETS_DUCK}),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.hs, b.hs)) AS n_common,
+             a.n_sh AS na, b.n_sh AS nb
       FROM cand c
-      JOIN sh3 a ON a.doc_id = c.doc_a
-      JOIN sh3 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-      GROUP BY c.doc_a, c.doc_b
+      JOIN hs a ON a.doc_id = c.doc_a
+      JOIN hs b ON b.doc_id = c.doc_b
     )
-    SELECT i.doc_a, i.doc_b,
-           ROUND(CAST(i.n_common AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.5
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
 """
 
 
@@ -354,39 +366,51 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to candidate count instead of the global
     inverted-index join (dedup_ngram_jaccard enumerates globally; at
     100 TB you generate candidates with LSH — 4.1x/decade measured —
-    then verify each with one bounded intersection). The candidate ⋈
-    shingles joins key on doc ids, so fan-out is sum over candidates of
-    |A| — linear in candidates; no df cap is needed because no shingle
-    ever joins against the whole corpus. Emits candidates whose true
-    3-token-shingle Jaccard >= 0.5."""
+    then verify each with one bounded intersection). Each doc's
+    shingle set rides as ONE array row of 60-bit hashes, so the
+    candidate joins are 1:1 and the intersection runs in-row
+    (array_intersect) — the exploded (doc, shingle) join variant
+    shuffled candidates x |A| rows and measured 24.6 GB in one stage
+    at the 100x sweep. Emits candidates whose true 3-token-shingle
+    Jaccard >= 0.5."""
     cand = materialize(dedup_minhash_lsh(spark, sf_dir))
-    t = load_tables(spark, sf_dir)
-    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
-    sh3 = (
-        docs.filter(F.expr("size(toks) >= 3"))
-        .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
+    hs = materialize(_shingle_hash_sets(spark, sf_dir))
+    a = hs.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("na")
     )
-    sh3 = materialize(sh3)
-    sizes = sh3.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh3.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh3.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b"))
-    inter = (
+    b = hs.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("nb")
+    )
+    pairs = (
         cand.join(a, "doc_a")
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b_id")) & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.5)
+        pairs.filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _shingle_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs: array<bigint>, n_sh): each doc's distinct 3-token
+    shingles as 60-bit md5 hashes in one array row — the compact unit
+    the candidate-scoped exact-Jaccard scorers join 1:1. n_sh counts
+    distinct STRING shingles (identical to the hashed-set size absent
+    60-bit collisions, which both engines would share)."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
+    return (
+        docs.filter(F.expr("size(toks) >= 3"))
+        .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set(
+                F.expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
+            ).alias("hs"),
+            F.countDistinct("shingle").alias("n_sh"),
+        )
     )
 
 
@@ -449,36 +473,25 @@ _MH_EST_ORACLE = f"""
       SELECT doc_id,
              {", ".join(f"MIN({_mh_formula('h', s)}) AS mh{s}" for s in range(_MINHASH_SEEDS))}
       FROM sh GROUP BY doc_id
-    ), sh3 AS (
-      SELECT doc_id, unnest({_shingles_duck(3)}) AS shingle
-      FROM docs3 WHERE len(toks) >= 3
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id
-    ), inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM cand c
-      JOIN sh3 a ON a.doc_id = c.doc_a
-      JOIN sh3 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-      GROUP BY c.doc_a, c.doc_b
-    ), est AS (
+    ), hs AS ({_SHINGLE_SETS_DUCK}),
+    pairs AS (
       SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.hs, b.hs)) AS n_common,
+             a.n_sh AS na, b.n_sh AS nb,
              ({" + ".join(f"CASE WHEN ma.mh{s} = mb.mh{s} THEN 1 ELSE 0 END" for s in range(_MINHASH_SEEDS))})
                / CAST({_MINHASH_SEEDS} AS DOUBLE) AS est_jaccard
       FROM cand c
+      JOIN hs a ON a.doc_id = c.doc_a
+      JOIN hs b ON b.doc_id = c.doc_b
       JOIN mh ma ON ma.doc_id = c.doc_a
       JOIN mh mb ON mb.doc_id = c.doc_b
     )
-    SELECT e.doc_a, e.doc_b,
-           ROUND(e.est_jaccard, 6) AS est_jaccard,
-           ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0)), 6) AS true_jaccard,
-           ROUND(ABS(e.est_jaccard
-                 - CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-                   / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0))), 6) AS abs_err
-    FROM est e
-    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
-    JOIN sizes sa ON sa.doc_id = e.doc_a
-    JOIN sizes sb ON sb.doc_id = e.doc_b
+    SELECT doc_a, doc_b,
+           ROUND(est_jaccard, 6) AS est_jaccard,
+           ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS true_jaccard,
+           ROUND(ABS(est_jaccard
+                 - CAST(n_common AS DOUBLE) / (na + nb - n_common)), 6) AS abs_err
+    FROM pairs
 """
 
 
@@ -495,43 +508,31 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     unaffordable.
 
     Scale shape: signatures = one map-side-partial aggregation (same
-    single shuffle as dedup_minhash_lsh); the exact side joins
-    shingles only for CANDIDATE docs (linear in candidates, cf.
-    dedup_lsh_verified_pairs); the estimate join carries 8 ints per
+    single shuffle as dedup_minhash_lsh); the exact side rides per-doc
+    hashed shingle-SET arrays joined 1:1 per candidate with the
+    intersection computed in-row (array_intersect) — the exploded
+    (doc, shingle) join variant shuffled candidates x |A| rows and
+    measured 24.6 GB in one stage / 14.4x per decade on the 100x
+    sweep before this shape. The estimate join carries 8 ints per
     doc. Star-edge pairs from oversized buckets are scored like any
     other candidate."""
     cand = materialize(dedup_minhash_lsh(spark, sf_dir))
-    t = load_tables(spark, sf_dir)
-    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
-    shh = (
-        docs.filter(F.expr("size(toks) >= 3"))
-        .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
+    hs = materialize(_shingle_hash_sets(spark, sf_dir))
+    # Signatures re-derived from the hash sets (hs is exactly the
+    # distinct-shingle hash multiset the minhash stage consumes).
+    mh = hs.select(
+        "doc_id", F.explode("hs").alias("h")
+    ).groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(_mh_formula("h", s))).alias(f"mh{s}")
+            for s in range(_MINHASH_SEEDS)
+        ]
     )
-    shh = materialize(shh)
-    mh = (
-        shh.selectExpr(
-            "doc_id",
-            "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h",
-        )
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.expr(_mh_formula("h", s))).alias(f"mh{s}")
-                for s in range(_MINHASH_SEEDS)
-            ]
-        )
+    a = hs.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("na")
     )
-    sizes = shh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = shh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = shh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        cand.join(a, "doc_a")
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b_id")) & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    b = hs.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("nb")
     )
     ma = mh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(_MINHASH_SEEDS)])
     mb = mh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(_MINHASH_SEEDS)])
@@ -542,26 +543,21 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + f") / CAST({_MINHASH_SEEDS} AS DOUBLE)"
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = (
-        F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
-        / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_common"), F.lit(0)))
-    )
-    return (
-        cand.join(ma, "doc_a")
+    pairs = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
+        .join(ma, "doc_a")
         .join(mb, "doc_b")
         .withColumn("est_jaccard_raw", F.expr(est_expr))
-        .join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round("est_jaccard_raw", 6).alias("est_jaccard"),
-            F.round(jac, 6).alias("true_jaccard"),
-            F.round(F.abs(F.col("est_jaccard_raw") - jac), 6).alias("abs_err"),
-        )
+    )
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round("est_jaccard_raw", 6).alias("est_jaccard"),
+        F.round(jac, 6).alias("true_jaccard"),
+        F.round(F.abs(F.col("est_jaccard_raw") - jac), 6).alias("abs_err"),
     )
 
 

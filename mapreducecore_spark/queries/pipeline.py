@@ -1212,3 +1212,87 @@ def quality_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - aggregate(cnts, 0D, (acc, c) -> acc + c * ln(c)) / n_tokens,"
         " 6) AS token_entropy",
     )
+
+
+# -------------------------------------- bigram perplexity scoring
+
+# Per-document perplexity under the corpus-trained add-one-smoothed
+# bigram LM — the classic LM-quality filter (docs whose token stream
+# the corpus model finds surprising are boilerplate/garbled/outliers).
+# Determinism: each term ln P(w2|w1) is rounded to 9 decimals and
+# summed in DECIMAL (exact, order-independent) — a raw double SUM
+# differs in low bits between engines depending on reduction order.
+_PPL_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), big AS (
+      SELECT doc_id, unnest({_ALL_BIGRAMS_DUCK}) AS bigram
+      FROM toks WHERE len(toks) >= 2
+    ), c2 AS (
+      SELECT bigram, COUNT(*) AS n2 FROM big GROUP BY bigram
+    ), c1 AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, SUM(n2) AS n1
+      FROM c2 GROUP BY 1
+    ), v AS (
+      SELECT COUNT(DISTINCT t) AS v FROM (
+        SELECT unnest(toks) AS t FROM toks
+      )
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(ln((c2.n2 + 1) / CAST(c1.n1 + v.v AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS lnp
+      FROM big b
+      JOIN c2 USING (bigram)
+      JOIN c1 ON c1.w1 = split_part(b.bigram, ' ', 1)
+      CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(exp(-CAST(SUM(lnp) AS DOUBLE) / COUNT(*)), 6) AS perplexity
+    FROM scored GROUP BY doc_id
+"""
+
+
+@register("quality_perplexity_bigram", oracle=_PPL_ORACLE)
+def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's own add-one-smoothed
+    bigram LM: ppl = exp(-mean ln P(w2|w1)), P = (c(w1 w2)+1)/(c(w1)+V).
+    The LM-quality filter between heuristics (gopher rules) and a real
+    trained model — high-perplexity docs are the boilerplate/garbled
+    tail a curation pipeline drops or down-weights.
+
+    Scale shape: one corpus pass builds counts (map-side partials),
+    one pass scores; the model join keys on bigram and the model side
+    has ONE row per bigram, so hot bigrams fan out 1:1 — linear in
+    corpus bigrams. c1 (first-word totals) is vocabulary-sized and
+    broadcast; V rides a 1-row broadcast cross join, not a driver
+    scalar. Per-term ln is rounded then summed in DECIMAL so the
+    reduction order cannot flip the rounded output."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
+    big = materialize(
+        docs.filter("size(toks) >= 2").selectExpr(
+            "doc_id", f"explode({_ALL_BIGRAMS_SPARK}) AS bigram"
+        )
+    )
+    c2 = big.groupBy("bigram").agg(F.count("*").alias("n2"))
+    c1 = c2.groupBy(F.split("bigram", " ").getItem(0).alias("w1")).agg(
+        F.sum("n2").alias("n1")
+    )
+    v = docs.selectExpr("explode(toks) AS t").agg(F.countDistinct("t").alias("v"))
+    model = c2.join(
+        F.broadcast(c1), F.split(c2["bigram"], " ").getItem(0) == c1["w1"]
+    ).select("bigram", "n2", "n1")
+    scored = (
+        big.join(model, "bigram")
+        .crossJoin(F.broadcast(v))
+        .selectExpr(
+            "doc_id",
+            "CAST(ROUND(ln((n2 + 1) / CAST(n1 + v AS DOUBLE)), 9) AS DECIMAL(28,9)) AS lnp",
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.exp(-F.sum("lnp").cast("double") / F.count("*")), 6
+        ).alias("perplexity"),
+    )

@@ -471,3 +471,80 @@ def stream_live_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.count("*").alias("n_unique"))
     )
     return _drain(out, spark)
+
+
+@register(
+    "stream_live_cdc_merge",
+    oracle="""
+    SELECT user_id,
+           max_by(event_type, printf('%019d|%019d',
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id))
+             AS last_type,
+           CAST(max_by(value, printf('%019d|%019d',
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id))
+             AS DOUBLE) AS last_value,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_live_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE-upsert LIVE (the sink-side twin of
+    events_cdc_latest_state): the event backlog is re-laid into FOUR
+    files so availableNow + maxFilesPerTrigger=1 drains it as four
+    real micro-batches, each running versioned_merge_sink's MERGE — a
+    per-key aggregate merged into the previous parquet snapshot,
+    written as a new version keyed by batch_id (replay-idempotent;
+    streaming/sinks.py). The final snapshot must equal the batch
+    argmax oracle over the whole table: state carries (argmax key,
+    aggregates), so merging batch-wise is associative and the split
+    into batches cannot change the answer. State size is bounded by
+    key cardinality, never stream length — the deployable shape for an
+    unbounded CDC feed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from mapreducecore_spark.streaming.sinks import (
+        latest_merge_snapshot,
+        versioned_merge_sink,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="mrc_cdc_merge_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    # Re-lay the backlog as 4 files (ts already normalized by the
+    # catalog) so the file source yields 4 real micro-batches.
+    from mapreducecore_spark.catalog import load_tables
+
+    tune_session(spark)
+    load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{tmp}/in").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in")
+    )
+    ordkey = F.format_string(
+        "%019d|%019d",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts").cast("timestamp"))),
+        F.col("event_id"),
+    )
+    prepared = stream.select(
+        "user_id", "event_type", "value", ordkey.alias("ordkey")
+    )
+    q = (
+        versioned_merge_sink(prepared, f"{tmp}/state", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise RuntimeError("cdc merge drain did not finish in 120s")
+    finally:
+        q.stop()
+    return latest_merge_snapshot(spark, f"{tmp}/state").select(
+        "user_id",
+        "last_type",
+        F.col("last_value").cast("double").alias("last_value"),
+        "n_events",
+    )

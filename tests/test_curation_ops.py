@@ -336,26 +336,46 @@ def test_random_embeddings_semdedup_vs_python_reference(
     """Differential test: SemDeDup on seeded random float32 vectors
     (with planted scaled copies that must prune and a planted zero
     vector that must not) vs an independent numpy implementation of
-    assign-then-prune."""
+    the LSH-pruned assign-then-prune (sign-LSH candidate buckets with
+    full-argmin fallback, mirroring llm/similarity's code layout)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(20260814)
-    n, dim = 80, 16
+    n, dim = 80, 64
     vecs = rng.normal(size=(n, dim)).astype(np.float32)
     vecs[70] = (2.5 * vecs[3]).astype(np.float32)  # scaled copy of a centroid
     vecs[71] = (0.5 * vecs[70]).astype(np.float32)  # copy of the copy
     vecs[72] = np.zeros(dim, dtype=np.float32)  # zero vector
     v = vecs.astype(np.float64)
 
+    def codes(x):  # 4 tables x 8 bits: bit i compares e[lo] vs e[lo+32], 1-based
+        out = []
+        for t in range(4):
+            code = 0
+            for i in range(1, 9):
+                lo = t * 8 + i
+                if x[lo - 1] >= x[lo + 31]:
+                    code += 1 << (i - 1)
+            out.append(code)
+        return out
+
     K = max(8, -(-n // 250))
     cent = v[:K]
     c_norm2 = (cent * cent).sum(axis=1)
+    ccodes = [codes(c) for c in cent]
     d2 = np.round(
         (v * v).sum(axis=1)[:, None] - 2.0 * (v @ cent.T) + c_norm2[None, :], 5
     )
-    assigned = d2.argmin(axis=1)  # ties -> lowest centroid id (argmin)
+    assigned = np.empty(n, dtype=int)
+    for b in range(n):
+        vc = codes(v[b])
+        cand = [j for j in range(K) if any(vc[t] == ccodes[j][t] for t in range(4))]
+        if not cand:
+            cand = list(range(K))  # fallback: full argmin
+        best = min(d2[b, j] for j in cand)
+        assigned[b] = min(j for j in cand if d2[b, j] == best)
     nrm = np.sqrt((v * v).sum(axis=1))
     expect = {}
     for b in range(n):

@@ -323,8 +323,12 @@ def test_semdedup_broadcasts_centroids_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "centroid_id" in plan and "Join" in plan
 
-    # Rebuild the assignment stage sans materialize to see its join.
-    from pyspark.sql import Window
+    # Rebuild the assignment's scored stage sans materialize to see
+    # its join and aggregation shape: the n x K explosion must be a
+    # broadcast nested loop over the tiny centroid set, and the argmin
+    # must partial-aggregate map-side (narrow rows — the row_number
+    # variant shuffled embeddings with every scored row and OOM'd the
+    # 100x sweep).
     from pyspark.sql import functions as F
 
     from mapreducecore_spark.catalog import load_tables
@@ -339,16 +343,14 @@ def test_semdedup_broadcasts_centroids_only(spark, sf_dir):
         "emb AS c_emb",
         "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS c_norm2",
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
-    assigned = (
-        e.crossJoin(F.broadcast(c))
-        .selectExpr("vec_id", "emb", "centroid_id", f"{_D2_SPARK} AS d2")
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+    scored = e.crossJoin(F.broadcast(c)).selectExpr(
+        "vec_id", "centroid_id", f"{_D2_SPARK} AS d2"
     )
-    aplan = plan_of(assigned)
+    best = scored.groupBy("vec_id").agg(F.min("d2").alias("d2"))
+    aplan = plan_of(best)
     assert "BroadcastNestedLoopJoin" in aplan
     assert "CartesianProduct" not in aplan
+    assert aplan.count("HashAggregate") >= 2  # map-side partial argmin
 
 
 def test_substring_spans_equijoin_on_gram(spark, sf_dir):

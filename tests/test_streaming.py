@@ -435,3 +435,44 @@ def test_stateful_agg_resumes_from_checkpoint(spark, tmp_path):
     # full accumulated state, though only batch 2 was read this run
     assert {r["user_id"]: r["count"] for r in second} == {1: 3, 2: 1}
     assert n_rows_second == 2  # the restart did NOT re-read batch 1
+
+
+def test_versioned_merge_replay_idempotent(spark, sf_dir, tmp_path):
+    """versioned_merge_sink's MERGE step: batch replay (same batch_id,
+    same contents — Spark's failure-retry contract) must converge to a
+    byte-identical snapshot, and the batch-wise merge must equal a
+    single-shot merge of all rows (associativity)."""
+    from pyspark.sql import functions as F
+
+    from mapreducecore_spark.catalog import load_tables
+    from mapreducecore_spark.streaming.sinks import (
+        latest_merge_snapshot,
+        merge_batch_into,
+    )
+
+    ordkey = F.format_string(
+        "%019d|%019d",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts").cast("timestamp"))),
+        F.col("event_id"),
+    )
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_id", "user_id", "event_type", "value", ordkey.alias("ordkey"))
+        .filter("user_id < 40")
+    )
+    b0 = ev.filter("event_id % 2 = 0")
+    b1 = ev.filter("event_id % 2 = 1")
+
+    d = str(tmp_path / "state")
+    merge_batch_into(b0, 0, d)
+    merge_batch_into(b1, 1, d)
+    first = sorted(tuple(r) for r in latest_merge_snapshot(spark, d).collect())
+
+    merge_batch_into(b1, 1, d)  # failure-retry replay of batch 1
+    replay = sorted(tuple(r) for r in latest_merge_snapshot(spark, d).collect())
+    assert replay == first
+
+    d2 = str(tmp_path / "single")
+    merge_batch_into(ev, 0, d2)
+    single = sorted(tuple(r) for r in latest_merge_snapshot(spark, d2).collect())
+    assert single == first

@@ -44,6 +44,12 @@ HEAVY = [
     "tfidf_top_terms",
     "q1_pricing_summary",
     "q5_nation_revenue",
+    # Round-3 part-3 curation operators.
+    "semdedup_prune",
+    "dedup_substring_spans",
+    "quality_classifier_hashed",
+    "domain_cap_documents",
+    "minhash_estimate_accuracy",
 ]
 
 
