@@ -27,9 +27,12 @@ curation stages a 100 TB training pipeline runs:
   map-side only.
 - Per-domain cap: keep the top-N documents per source (quality-ordered)
   — the standard guard against a single crawl domain flooding the
-  training mix. One shuffle keyed by source; a billion-doc domain is
-  the skew case, handled by AQE skew-split plus the two-pass
-  count-then-threshold variant noted in the docstring.
+  training mix. Two forms: the audit-rank form ranks EVERY row via
+  range-partitioned exact ranking (a per-source window would put a
+  mega-domain in one task; AQE skew handling applies to joins, not
+  window partitions), and the kept-set form filters rank <= cap inside
+  the operator so Catalyst's WindowGroupLimit keeps at most cap rows
+  per source per map task BELOW the exchange.
 """
 
 from __future__ import annotations
@@ -87,8 +90,64 @@ _PAIR_COS_DUCK = (
     "list_inner_product(ea.emb, eb.emb) / nullif(ea.nrm * eb.nrm, 0)"
 )
 
-_SEMDEDUP_ORACLE = f"""
-    WITH e AS (SELECT vec_id,
+_SEM_TRAIN_ITERS = 2  # Lloyd iterations before the prune (Abbas et al.)
+
+
+def _sem_assign_ctes(tag: str, cents: str) -> str:
+    """One LSH-pruned assignment round against centroid CTE `cents`:
+    candidate buckets -> full-argmin fallback -> two-phase MIN argmin.
+    Mirrors the Spark _sem_assign helper CTE-for-stage."""
+    return f"""
+    cc{tag} AS MATERIALIZED (SELECT centroid_id, {duck_tables_select("c_emb")} FROM {cents}),
+    cand{tag} AS MATERIALIZED (
+      SELECT DISTINCT v.vec_id, cc.centroid_id
+      FROM vcodes v JOIN cc{tag} cc USING (tbl, code)
+    ),
+    ca{tag} AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM cand{tag}
+      UNION ALL
+      SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN {cents} c
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM cand{tag})
+    ),
+    sc{tag} AS MATERIALIZED (
+      SELECT a.vec_id, a.centroid_id, {_D2_DUCK} AS d2
+      FROM ca{tag} a
+      JOIN e ON e.vec_id = a.vec_id
+      JOIN {cents} c ON c.centroid_id = a.centroid_id
+    ),
+    bs{tag} AS MATERIALIZED (SELECT vec_id, MIN(d2) AS d2 FROM sc{tag} GROUP BY vec_id),
+    asg{tag} AS MATERIALIZED (
+      SELECT s.vec_id, MIN(s.centroid_id) AS centroid_id
+      FROM sc{tag} s JOIN bs{tag} USING (vec_id, d2)
+      GROUP BY s.vec_id
+    )"""
+
+
+def _semdedup_oracle(iters: int) -> str:
+    """DuckDB mirror of the trained-centroid SemDeDup chain: rank-based
+    seeds, `iters` Lloyd rounds (LSH-pruned assign + DECIMAL-exact mean
+    update), final assignment, intra-cluster cosine prune."""
+    blocks = []
+    for i in range(iters):
+        blocks.append(_sem_assign_ctes(str(i), f"c{i}"))
+        blocks.append(f"""
+    u{i} AS MATERIALIZED (
+      SELECT centroid_id, idx, emb[idx] AS val FROM (
+        SELECT a.centroid_id, e.emb,
+               unnest(generate_series(1, len(e.emb))) AS idx
+        FROM asg{i} a JOIN e ON e.vec_id = a.vec_id)
+    ),
+    c{i + 1} AS MATERIALIZED (
+      SELECT centroid_id, c_emb, list_inner_product(c_emb, c_emb) AS c_norm2
+      FROM (
+        SELECT centroid_id, list(cv ORDER BY idx) AS c_emb FROM (
+          SELECT centroid_id, idx,
+                 CAST(SUM(CAST(val AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS cv
+          FROM u{i} GROUP BY centroid_id, idx)
+        GROUP BY centroid_id)
+    )""")
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
                       sqrt(list_inner_product(
                           list_transform(embedding, x -> CAST(x AS DOUBLE)),
@@ -97,36 +156,16 @@ _SEMDEDUP_ORACLE = f"""
     k AS (SELECT GREATEST({_SEM_MIN_K},
                           CAST(CEIL(COUNT(*) / {_SEM_DOCS_PER_CLUSTER}.0) AS BIGINT)) AS k
           FROM e),
-    c AS (SELECT vec_id AS centroid_id, emb AS c_emb,
-                 list_inner_product(emb, emb) AS c_norm2
-          FROM e WHERE vec_id < (SELECT k FROM k)),
-    vcodes AS (SELECT vec_id, {duck_tables_select("emb")} FROM e),
-    ccodes AS (SELECT centroid_id, {duck_tables_select("c_emb")} FROM c),
-    cand AS (
-      SELECT DISTINCT v.vec_id, cc.centroid_id
-      FROM vcodes v JOIN ccodes cc USING (tbl, code)
-    ),
-    cand_all AS (
-      SELECT vec_id, centroid_id FROM cand
-      UNION ALL
-      SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN c
-      WHERE e.vec_id NOT IN (SELECT vec_id FROM cand)
-    ),
-    scored AS (
-      SELECT a.vec_id, a.centroid_id, {_D2_DUCK} AS d2
-      FROM cand_all a
-      JOIN e ON e.vec_id = a.vec_id
-      JOIN c ON c.centroid_id = a.centroid_id
-    ),
-    best AS (SELECT vec_id, MIN(d2) AS d2 FROM scored GROUP BY vec_id),
-    assigned AS (
-      SELECT s.vec_id, MIN(s.centroid_id) AS centroid_id
-      FROM scored s JOIN best USING (vec_id, d2)
-      GROUP BY s.vec_id
-    ),
+    c0 AS MATERIALIZED (SELECT vec_id AS centroid_id, emb AS c_emb,
+                  list_inner_product(emb, emb) AS c_norm2
+           FROM e
+           QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM k)),
+    vcodes AS MATERIALIZED (SELECT vec_id, {duck_tables_select("emb")} FROM e),
+    {",".join(blocks)},
+    {_sem_assign_ctes("f", f"c{iters}")},
     pruned AS (
       SELECT b.vec_id, MIN(a.vec_id) AS pruned_by
-      FROM assigned a JOIN assigned b
+      FROM asgf a JOIN asgf b
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
       JOIN e ea ON ea.vec_id = a.vec_id
       JOIN e eb ON eb.vec_id = b.vec_id
@@ -134,58 +173,20 @@ _SEMDEDUP_ORACLE = f"""
       GROUP BY b.vec_id
     )
     SELECT s.vec_id, s.centroid_id, p.vec_id IS NULL AS kept, p.pruned_by
-    FROM assigned s LEFT JOIN pruned p ON p.vec_id = s.vec_id
+    FROM asgf s LEFT JOIN pruned p ON p.vec_id = s.vec_id
 """
 
 
-@register("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
-def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): assign every embedding to its
-    nearest seed centroid, then within each cluster prune any vector
-    that has a lower-id neighbor with cosine >= threshold (keep-lowest
-    -id — deterministic stand-in for the paper's keep-one-per-group).
-    Output: every vec_id with its cluster, kept flag, and the keeper
-    that shadows it.
-
-    Scale shape: the K centroids broadcast (argmin is a codegen'd fold
-    per row, big side never shuffles for assignment); the prune join
-    shuffles once on centroid_id and is quadratic only within a
-    cluster — K = max(8, ceil(n / 250)) grows with the corpus (the
-    paper's own knob) so cluster width, and with it the total pair
-    count, stays LINEAR in n; the first 10x sweep with a fixed K=8
-    measured 30x and motivated this. Norms are precomputed per vector,
-    so each candidate pair costs ONE array fold (the dot product), not
-    three. Assignment is LSH-pruned (sign-LSH bucket match against
-    the centroid codes, full-argmin fallback when no bucket hits):
-    brute-force n x K assignment with K ~ n re-measured 9.3x/decade
-    at the 100x sweep; pruning cuts candidates ~64x and the fallback
-    fraction decays exponentially in K, so the approximation
-    tightens exactly where it is cheap (small K) and prunes exactly
-    where it matters (large K). The oracle mirrors the pruning rule
-    bit-for-bit, so the APPROXIMATE assignment itself is
-    value-checked cross-engine."""
-    t = load_tables(spark, sf_dir)
-    e = spread(t["embeddings"]).selectExpr(
-        "vec_id",
-        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
-    ).selectExpr(
-        "vec_id",
-        "emb",
-        "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm",
-    )
-    # Single driver-side scalar (accepted pattern, cf. pipeline.py
-    # n_docs): K must be known to pick the centroid set.
-    n_vecs = t["embeddings"].count()
-    k = max(_SEM_MIN_K, -(-n_vecs // _SEM_DOCS_PER_CLUSTER))
-    c = e.filter(F.col("vec_id") < k).selectExpr(
-        "vec_id AS centroid_id",
-        "emb AS c_emb",
-        "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS c_norm2",
-    )
-    # LSH-pruned candidate generation: exact distances only to
-    # centroids sharing a sign-LSH bucket; vectors hitting no centroid
-    # bucket fall back to the full centroid set (exact argmin there).
-    vcodes = add_lsh_codes(e.select("vec_id", "emb")).select("vec_id", "tbl", "code")
+def _sem_assign(e: DataFrame, vcodes: DataFrame, c: DataFrame) -> DataFrame:
+    """One LSH-pruned assignment round: exact distances only to
+    centroids sharing a sign-LSH bucket, full-argmin fallback for
+    vectors matching no centroid bucket, then a two-phase primitive
+    MIN argmin over the NARROW (vec_id, centroid_id, d2) table — a
+    row_number window here would shuffle every scored row WITH its
+    embedding (n x K x 550B ~ 90 GB at the 100x sweep, measured heap
+    OOM), while min() partial-aggregates map-side so the exchange
+    carries n rows. Ties: min d2, then min centroid_id — identical to
+    the oracle's two-phase MIN ordering."""
     ccodes = add_lsh_codes(
         c.select(F.col("centroid_id"), F.col("c_emb").alias("emb"))
     ).select("centroid_id", "tbl", "code")
@@ -200,23 +201,108 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(c.select("centroid_id")))
     )
     cand_all = cand.unionByName(fallback)
-    # Argmin via two-phase primitive mins over a NARROW scored table:
-    # the candidate explosion carries (vec_id, centroid_id, d2) only —
-    # a row_number window here would shuffle every scored row WITH its
-    # embedding (n x K x 550B ~ 90 GB at the 100x sweep, measured heap
-    # OOM), while min() partial-aggregates map-side so the exchange
-    # carries n rows. Ties: min d2, then min centroid_id — identical
-    # to the oracle's two-phase MIN ordering.
     scored = materialize(
         cand_all.join(e.select("vec_id", "emb"), "vec_id")
         .join(F.broadcast(c), "centroid_id")
         .selectExpr("vec_id", "centroid_id", f"{_D2_SPARK} AS d2")
     )
     best = scored.groupBy("vec_id").agg(F.min("d2").alias("d2"))
-    assigned = materialize(
+    return (
         scored.join(best, ["vec_id", "d2"])
         .groupBy("vec_id")
         .agg(F.min("centroid_id").alias("centroid_id"))
+    )
+
+
+def _sem_mean_update(assigned: DataFrame, e: DataFrame) -> DataFrame:
+    """Lloyd mean step: recompute each centroid as its members' mean,
+    per (centroid, dim) with map-side partial aggregation. Means go
+    through DECIMAL(38,20) so the centroid doubles are bit-identical
+    across engines (same trick as ann_ivf_trained); empty cells drop
+    out of the codebook naturally."""
+    members = assigned.join(e.select("vec_id", "emb"), "vec_id").select(
+        "centroid_id", F.posexplode("emb").alias("pos", "val")
+    )
+    dims = members.groupBy("centroid_id", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,20)")).cast("double") / F.count("*")
+        ).alias("cv")
+    )
+    return materialize(
+        dims.groupBy("centroid_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
+            ).alias("c_emb")
+        )
+        .selectExpr(
+            "centroid_id",
+            "c_emb",
+            "aggregate(zip_with(c_emb, c_emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS c_norm2",
+        )
+    )
+
+
+@register("semdedup_prune", oracle=_semdedup_oracle(_SEM_TRAIN_ITERS))
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then within each cluster prune any vector that has a lower-id
+    neighbor with cosine >= threshold (keep-lowest-id — deterministic
+    stand-in for the paper's keep-one-per-group). Output: every vec_id
+    with its cluster, kept flag, and the keeper that shadows it.
+
+    Centroids are TRAINED, per the paper's recipe: seeds are the K
+    lowest vec_ids (rank-based — robust to sparse/offset ids, ADVICE
+    r3), then _SEM_TRAIN_ITERS Lloyd rounds reuse the ann_ivf_trained
+    loop shape on squared-Euclidean argmin (assign via the LSH-pruned
+    helper below, mean update in DECIMAL so both engines see
+    bit-identical centroids). Training tightens clusters — measured
+    intra-cluster mean d2 drops vs the seeded codebook
+    (tests/test_round3_ops.py) — which is what bounds the prune
+    stage's within-cluster pair count.
+
+    Scale shape: the K centroids broadcast every round (argmin is a
+    codegen'd fold per row, big side never shuffles for assignment);
+    the prune join shuffles once on centroid_id and is quadratic only
+    within a cluster — K = max(8, ceil(n / 250)) grows with the corpus
+    (the paper's own knob) so cluster width, and with it the total
+    pair count, stays LINEAR in n; the first 10x sweep with a fixed
+    K=8 measured 30x and motivated this. Norms are precomputed per
+    vector, so each candidate pair costs ONE array fold (the dot
+    product), not three. Assignment is LSH-pruned: brute-force n x K
+    assignment with K ~ n re-measured 9.3x/decade at the 100x sweep;
+    pruning cuts candidates ~64x and the fallback fraction decays
+    exponentially in K, so the approximation tightens exactly where it
+    is cheap (small K) and prunes exactly where it matters (large K).
+    The oracle mirrors seeds, every training round, and the pruning
+    rule bit-for-bit, so the APPROXIMATE assignment itself is
+    value-checked cross-engine."""
+    t = load_tables(spark, sf_dir)
+    e = spread(t["embeddings"]).selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
+    ).selectExpr(
+        "vec_id",
+        "emb",
+        "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm",
+    )
+    e = materialize(e)
+    # Single driver-side scalar (accepted pattern, cf. pipeline.py
+    # n_docs): K must be known to pick the centroid set.
+    n_vecs = t["embeddings"].count()
+    k = max(_SEM_MIN_K, -(-n_vecs // _SEM_DOCS_PER_CLUSTER))
+    # Rank-based seeds (K lowest vec_ids): TakeOrdered partial top-k,
+    # not a vec_id < k filter that silently shrinks on sparse ids.
+    c = e.orderBy("vec_id").limit(k).selectExpr(
+        "vec_id AS centroid_id",
+        "emb AS c_emb",
+        "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS c_norm2",
+    )
+    vcodes = add_lsh_codes(e.select("vec_id", "emb")).select("vec_id", "tbl", "code")
+    for _ in range(_SEM_TRAIN_ITERS):
+        c = _sem_mean_update(_sem_assign(e, vcodes, c), e)
+    assigned = materialize(
+        _sem_assign(e, vcodes, c)
         .join(e, "vec_id")
         .select("vec_id", "centroid_id", "emb", "nrm")
     )
@@ -258,14 +344,16 @@ _SPAN_ORACLE = f"""
       FROM docs WHERE len(toks) >= {_SPAN_K}
     ), g AS (
       SELECT doc_id, pos,
-             concat_ws(' ', {", ".join(f"list_extract(toks, pos + {j})" for j in range(_SPAN_K))}) AS gram
+             CAST(('0x' || substr(md5(
+               concat_ws(' ', {", ".join(f"list_extract(toks, pos + {j})" for j in range(_SPAN_K))})
+             ), 1, 15)) AS BIGINT) AS gram_h
       FROM grams
     ), dup AS (
-      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+      SELECT gram_h FROM g GROUP BY gram_h HAVING COUNT(DISTINCT doc_id) >= 2
     ), hits AS (
       SELECT g.doc_id, g.pos,
              g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
-      FROM g JOIN dup USING (gram)
+      FROM g JOIN dup USING (gram_h)
     )
     SELECT doc_id, MIN(pos) AS span_start,
            MAX(pos) + {_SPAN_K - 1} AS span_end,
@@ -284,13 +372,19 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents share only a paragraph). Gaps-and-islands merge:
     duplicated k-gram start positions, grouped by pos - row_number.
 
-    Scale shape: inverted k-gram index (one groupBy on gram with
-    map-side partial distinct), joined back to the position table on
-    gram. The dup side carries exactly one row per duplicated gram, so
-    the join is 1:1 per (doc, pos) — a boilerplate gram in 10k docs
-    produces 10k rows total, NOT 10k^2 (contrast the pairwise jaccard
-    join and its df cap). The island merge is one window + one
-    aggregate, both keyed by doc_id."""
+    Scale shape: inverted k-gram index (one groupBy on the gram key
+    with map-side partial distinct), joined back to the position table.
+    The key is a 60-bit md5 prefix of the gram TEXT, computed map-side
+    before the exchange: the 100x sweep measured 1.8 GB of gram-text
+    shuffle (VERDICT r3 #5); hashing cuts the shuffled key to 8 bytes.
+    Both engines hash identically, so a (astronomically rare, ~n^2/2^61)
+    colliding gram pair merges doc counts identically on both sides —
+    and a false-positive span is exactly the error class a k-gram
+    dedup already tolerates. The dup side carries exactly one row per
+    duplicated gram, so the join is 1:1 per (doc, pos) — a boilerplate
+    gram in 10k docs produces 10k rows total, NOT 10k^2 (contrast the
+    pairwise jaccard join and its df cap). The island merge is one
+    window + one aggregate, both keyed by doc_id."""
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
     g = (
@@ -303,19 +397,19 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id",
             "pos",
-            "concat_ws(' ', "
+            "CAST(conv(substring(md5(concat_ws(' ', "
             + ", ".join(f"element_at(toks, pos + {j})" for j in range(_SPAN_K))
-            + ") AS gram",
+            + ")), 1, 15), 16, 10) AS BIGINT) AS gram_h",
         )
     )
     g = materialize(g)
     dup = (
-        g.groupBy("gram")
+        g.groupBy("gram_h")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
-        .select("gram")
+        .select("gram_h")
     )
-    hits = g.join(dup, "gram").select("doc_id", "pos")
+    hits = g.join(dup, "gram_h").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     return (
         hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
@@ -415,32 +509,112 @@ _DOMAIN_ORACLE = f"""
 """
 
 
+def _ranged_local_rank(d: DataFrame, nparts: int) -> DataFrame:
+    """Stage 1-2 of the skew-safe exact rank: range-partition on the
+    full (source, n_chars DESC, doc_id) ordering, then row_number per
+    (range-partition id, source) — group width bounded by the balanced
+    partition size no matter how skewed the source key is."""
+    ranged = d.repartitionByRange(
+        nparts, F.col("source"), F.col("n_chars").desc(), F.col("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid", "source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return ranged.withColumn("local_rank", F.row_number().over(w_local))
+
+
 @register("domain_cap_documents", oracle=_DOMAIN_ORACLE)
 def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain document cap: rank each source's documents by a
-    quality proxy (n_chars DESC, doc_id tiebreak) and keep the top
-    _DOMAIN_CAP — the standard guard against one crawl domain flooding
-    the mix. Emits every doc with its rank and kept flag so the
-    dropped set is auditable.
+    """Per-domain document cap, audit form: rank each source's
+    documents by a quality proxy (n_chars DESC, doc_id tiebreak) and
+    flag the top _DOMAIN_CAP — the standard guard against one crawl
+    domain flooding the mix. Emits every doc with its rank and kept
+    flag so the dropped set is auditable.
 
-    Scale shape: one shuffle keyed by source. A mega-domain (billions
-    of docs behind one key) is the skew case: AQE skew-split spreads
-    the sort, and when even that is too hot the two-pass variant —
-    aggregate per-source counts, then keep rows whose (n_chars,
-    doc_id) clears the domain's cap-th order statistic from an
-    approx_percentile pass — avoids the full per-domain sort; the
-    rank-based form here is the exact semantics both variants must
-    reproduce."""
+    Scale shape — range-partitioned exact ranking, NOT a per-source
+    window. `row_number().over(partitionBy(source))` puts an entire
+    domain in ONE task; a mega-domain (billions of docs behind one
+    crawl host — the precise case this operator exists for) is a
+    straggler/OOM, and AQE's skew handling does not apply to window
+    partitions (VERDICT r3). Instead:
+
+      1. repartitionByRange on the FULL rank ordering
+         (source, n_chars DESC, doc_id) — doc_id is unique, so the
+         ordering is total and the range partitioner can always split
+         a mega-domain evenly across tasks;
+      2. local row_number per (range-partition, source) — group width
+         is bounded by the partition size regardless of domain skew;
+      3. per-(partition, source) counts (tiny: sources are contiguous
+         under the range order, so ~n_partitions + n_sources rows)
+         cumulated per source over ascending partition id give each
+         partition's rank offset, broadcast-joined back.
+
+    Range order guarantees every row in partition i sorts before every
+    row in partition i+1, so local_rank + offset IS the exact global
+    per-source rank; AQE coalescing merges only adjacent range
+    partitions, which preserves the invariant. Cost: two balanced
+    shuffles of (doc_id, source, n_chars) + one broadcast — vs one
+    shuffle with an unbounded straggler. The kept-set form that needs
+    no ranks at all is domain_cap_kept below."""
     t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    d = t["documents"].select("doc_id", "source", "n_chars")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Materialized because both the offset aggregation and the final
+    # join read it; the plan gate inspects _ranged_local_rank directly
+    # (localCheckpoint truncates the visible plan to Scan ExistingRDD).
+    local = materialize(_ranged_local_rank(d, nparts))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        local.groupBy("pid", "source")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("pid", "source", "off")
+    )
     return (
-        t["documents"]
-        .select("doc_id", "source", "n_chars")
-        .withColumn("rank", F.row_number().over(w))
+        local.join(F.broadcast(offs), ["pid", "source"])
+        .withColumn("rank", (F.col("local_rank") + F.col("off")).cast("int"))
         .select(
             "doc_id",
             "source",
             "rank",
             (F.col("rank") <= _DOMAIN_CAP).alias("kept"),
         )
+    )
+
+
+_DOMAIN_KEPT_ORACLE = f"""
+    SELECT doc_id, source, rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents
+    ) WHERE rank <= {_DOMAIN_CAP}
+"""
+
+
+@register("domain_cap_kept", oracle=_DOMAIN_KEPT_ORACLE)
+def domain_cap_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap, kept-set form: emit ONLY the top _DOMAIN_CAP
+    documents per source — the variant a production mix-builder
+    actually feeds downstream (the audit form above keeps every row).
+
+    Scale shape: because the rank filter is part of the operator,
+    Catalyst rewrites the window into WindowGroupLimit (plan-gated in
+    tests/test_plans.py): every map task keeps at most _DOMAIN_CAP
+    rows per source BEFORE the exchange, so a billion-doc mega-domain
+    ships ~cap rows per upstream partition instead of the whole
+    domain, and the post-shuffle group is bounded by
+    cap x n_map_partitions regardless of skew."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        t["documents"]
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _DOMAIN_CAP)
+        .select("doc_id", "source", "rank")
     )

@@ -1159,17 +1159,28 @@ def pii_redact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- entropy quality
 
+# Run-length counts from the SORTED token list, linear per row: the
+# run starts are the positions where the sorted list changes value;
+# each count is the distance to the next start. Both engines build the
+# same cnts list in sorted-distinct order, so the c*ln(c) fold order —
+# and with it the rounded value — is identical cross-engine.
 _ENTROPY_ORACLE = f"""
 WITH toks AS (
-    SELECT doc_id, {_TOKS_DUCK} AS tk FROM documents
+    SELECT doc_id, list_sort({_TOKS_DUCK}) AS st FROM documents
+),
+runs AS (
+    SELECT doc_id,
+           len(st) AS n_tokens,
+           list_filter(generate_series(1, len(st)),
+                       i -> i = 1 OR st[i] <> st[i - 1]) AS starts
+    FROM toks
 ),
 counted AS (
-    SELECT doc_id,
-           len(tk) AS n_tokens,
+    SELECT doc_id, n_tokens,
            list_transform(
-               list_sort(list_distinct(tk)),
-               d -> len(list_filter(tk, x -> x = d))) AS cnts
-    FROM toks
+               list_zip(list_concat(starts[2:], [n_tokens + 1]), starts),
+               p -> p[1] - p[2]) AS cnts
+    FROM runs
 )
 SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -1189,20 +1200,38 @@ def quality_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     H=0; uniform vocabulary use maximizes H). Complements
     quality_repetition_ratio (dup fractions) with a distributional view.
 
-    Cross-engine float parity: the c*ln(c) sum runs over counts in
-    SORTED-distinct-token order in BOTH engines (a per-row higher-order
-    fold, not a shuffled aggregate), so the floating-point reduction
-    order is identical and the rounded value matches exactly. Per-row
-    cost is O(n_distinct * n_tokens) on ~60-word docs — JVM codegen'd,
-    zero shuffles, embarrassingly parallel at any scale.
+    Per-row cost is O(n log n): sort the token list once, then derive
+    the per-token counts as run lengths of the sorted list (run starts
+    = positions where the value changes; count = gap to the next
+    start) — all linear array ops. The previous
+    `transform(array_distinct(tk), d -> size(filter(tk, x = d)))` form
+    was O(n_distinct * n_tokens) per row — ~10^9 comparisons for one
+    100k-token document, a single-task straggler no parallelism fixes
+    (VERDICT r3); the crafted long-doc test covers that regime. Still
+    zero shuffles and JVM codegen'd (beats the explode -> groupBy
+    linearization, which pays two exchanges): embarrassingly parallel
+    at any scale.
+
+    Cross-engine float parity: cnts is built in sorted-distinct-token
+    order in BOTH engines, so the c*ln(c) fold order — and the rounded
+    value — matches exactly.
     """
     t = load_tables(spark, sf_dir)
-    toks = t["documents"].selectExpr("doc_id", f"{_TOKS} AS tk")
-    counted = toks.selectExpr(
+    toks = t["documents"].selectExpr("doc_id", f"array_sort({_TOKS}) AS st")
+    # Filter empty docs BEFORE the index sequence: sequence(1, 0) is
+    # [1, 0] in Spark (descending default step) and element_at(st, 0)
+    # throws under ANSI; the output excludes n_tokens = 0 rows anyway.
+    runs = toks.where("size(st) > 0").selectExpr(
         "doc_id",
-        "size(tk) AS n_tokens",
-        "transform(array_sort(array_distinct(tk)),"
-        " d -> size(filter(tk, x -> x = d))) AS cnts",
+        "size(st) AS n_tokens",
+        "filter(sequence(1, size(st)),"
+        " i -> i = 1 OR element_at(st, i) != element_at(st, i - 1)) AS starts",
+    )
+    counted = runs.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "zip_with(concat(slice(starts, 2, size(starts) - 1), array(n_tokens + 1)),"
+        " starts, (b, a) -> b - a) AS cnts",
     )
     return counted.where("n_tokens > 0").selectExpr(
         "doc_id",
@@ -1247,7 +1276,7 @@ _PPL_ORACLE = f"""
       CROSS JOIN v
     )
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(exp(-CAST(SUM(lnp) AS DOUBLE) / COUNT(*)), 6) AS perplexity
+           ROUND(exp(-CAST(SUM(lnp) AS DOUBLE) / COUNT(*)), 4) AS perplexity
     FROM scored GROUP BY doc_id
 """
 
@@ -1266,7 +1295,11 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bigrams. c1 (first-word totals) is vocabulary-sized and
     broadcast; V rides a 1-row broadcast cross join, not a driver
     scalar. Per-term ln is rounded then summed in DECIMAL so the
-    reduction order cannot flip the rounded output."""
+    reduction order cannot flip the rounded output; the DECIMAL mean
+    feeds exp() as a bit-identical double on both engines, and the
+    final value rounds at 4 decimals (not 6) so a 1-ulp JVM-vs-libm
+    exp() divergence sits ~5 orders of magnitude inside the rounding
+    grid instead of riding its edge (ADVICE r3)."""
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
     big = materialize(
@@ -1293,6 +1326,6 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(
-            F.exp(-F.sum("lnp").cast("double") / F.count("*")), 6
+            F.exp(-F.sum("lnp").cast("double") / F.count("*")), 4
         ).alias("perplexity"),
     )

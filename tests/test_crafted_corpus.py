@@ -37,10 +37,18 @@ _DOCS = [
     (10, _SEG + " tail one follows here", "en", "srcB"),  # == doc 1
     (11, _SEG + " tail one follows here", "en", "srcC"),  # == doc 1
     (12, "alpha beta gamma delta", "de", "srcB"),  # == doc 0, other lang/src
+    # newline-bearing documents (round 4): real multi-line texts for
+    # dedup_lines_newline — shared lines across docs, internal dup
+    # lines, trailing newline (empty last line), and a lone "\n" doc.
+    (13, "shared header line\nunique body thirteen\nshared footer line", "en", "srcD"),
+    (14, "shared header line\nunique body fourteen\nshared footer line", "en", "srcD"),
+    (15, "repeat me\nrepeat me\nrepeat me\nthen something else\n", "en", "srcD"),
+    (16, "\n", "en", "srcD"),  # two empty lines
 ]
 
 _OPS = [
     "dedup_lines_ccnet",
+    "dedup_lines_newline",
     "dedup_minhash_lsh",
     "simhash_docs",
     "simhash_neardup_pairs",
@@ -266,3 +274,126 @@ def test_random_corpus_entropy_vs_python_reference(
     for did in expect:
         assert got[did][:2] == expect[did][:2]
         assert abs(got[did][2] - expect[did][2]) <= 1e-6, (did, got[did], expect[did])
+
+
+def test_long_doc_entropy_linear(spark, sf_dir, tmp_path_factory):
+    """The straggler regime the quadratic fold could not survive: one
+    60k-token document with 30k distinct tokens (~1.8e9 comparisons
+    under the old O(n_distinct * n_tokens) per-row fold; VERDICT r3).
+    The run-length form is O(n log n) per row — the whole corpus must
+    finish in seconds AND match a pure-Python reference exactly."""
+    import collections
+    import random
+    import time
+
+    rng = random.Random(7)
+    # 30k distinct tokens, each appearing 1-3 times -> ~60k tokens.
+    toks = []
+    for i in range(30_000):
+        toks.extend([f"w{i:05d}"] * rng.randint(1, 3))
+    rng.shuffle(toks)
+    docs = [(0, " ".join(toks)), (1, "tiny doc beside the monster")]
+
+    expect = {}
+    for did, text in docs:
+        tk = text.split(" ")
+        n = len(tk)
+        counts = collections.Counter(tk)
+        h = math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+        expect[did] = (n, len(counts), round(h, 6))
+
+    root = tmp_path_factory.mktemp("long_ent")
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{sf_dir}/{name}.parquet", root / f"{name}.parquet")
+    pdf = pd.DataFrame(
+        [(d, t, "en", "srcL", len(t)) for d, t in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(root / "documents.parquet", index=False)
+
+    t0 = time.time()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["token_entropy"])
+        for r in REGISTRY["quality_token_entropy"].fn(spark, str(root)).collect()
+    }
+    elapsed = time.time() - t0
+    for did in expect:
+        assert got[did][:2] == expect[did][:2]
+        assert abs(got[did][2] - expect[did][2]) <= 1e-6, (did, got[did], expect[did])
+    # Generous bound (CI-load safe); the quadratic fold took minutes here.
+    assert elapsed < 60, f"long-doc entropy took {elapsed:.1f}s - not linear?"
+
+
+def test_crafted_newline_dedup_semantics(spark, crafted_dir):
+    """Real '\\n' segmentation (round 4): shared header/footer lines
+    survive only in doc 13 (lowest doc_id); doc 15's internally
+    repeated line is kept exactly once."""
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_lines_newline"].fn(spark, crafted_dir).collect()
+    }
+    assert rows[13]["n_lines"] == 3 and rows[13]["n_kept"] == 3
+    assert rows[14]["n_lines"] == 3 and rows[14]["n_kept"] == 1  # body only
+    # doc 4 (text == "") owns the empty line, so doc 15 keeps one
+    # "repeat me" + "then something else" and doc 16 keeps nothing.
+    assert rows[4]["n_lines"] == 1 and rows[4]["n_kept"] == 1
+    assert rows[15]["n_lines"] == 5 and rows[15]["n_kept"] == 2
+    assert rows[16]["n_lines"] == 2 and rows[16]["n_kept"] == 0
+
+
+def test_random_corpus_newline_dedup_vs_python_reference(
+    spark, sf_dir, tmp_path_factory
+):
+    """Differential test: a seeded random MULTI-LINE corpus (small line
+    vocabulary so lines collide across documents, plus whole-document
+    duplicates) through dedup_lines_newline must match a pure-Python
+    first-occurrence-wins reference."""
+    import hashlib
+    import random
+
+    rng = random.Random(404)
+    line_vocab = [f"line variant number {i} with words" for i in range(25)]
+    docs = []
+    for did in range(60):
+        n = rng.randint(1, 12)
+        docs.append((did, "\n".join(rng.choice(line_vocab) for _ in range(n))))
+    for did in range(60, 70):  # whole-document duplicates
+        docs.append((did, docs[rng.randrange(30)][1]))
+
+    first = {}
+    for did, text in docs:
+        for pos, line in enumerate(text.split("\n")):
+            if line not in first:
+                first[line] = (did, pos)
+    expect = {}
+    for did, text in docs:
+        segs = text.split("\n")
+        kept = [l for p, l in enumerate(segs) if first[l] == (did, p)]
+        expect[did] = (
+            len(segs),
+            len(kept),
+            hashlib.md5("\n".join(kept).encode()).hexdigest(),
+        )
+
+    root = tmp_path_factory.mktemp("rand_nl")
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{sf_dir}/{name}.parquet", root / f"{name}.parquet")
+    pdf = pd.DataFrame(
+        [(d, t, "en", "srcN", len(t)) for d, t in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(root / "documents.parquet", index=False)
+
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_hash"])
+        for r in REGISTRY["dedup_lines_newline"].fn(spark, str(root)).collect()
+    }
+    assert got == expect

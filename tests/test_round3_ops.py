@@ -215,3 +215,71 @@ def test_star_edges_preserve_components_property():
                 (a, b) for i, a in enumerate(members) for b in members[i + 1 :]
             )
         assert components(n, clique) == components(n, star)
+
+
+def test_semdedup_training_tightens_clusters(spark, sf_dir):
+    """Lloyd-trained SemDeDup centroids (round 4) must quantize better
+    than the rank-based seeds: the mean best squared distance over the
+    corpus drops after _SEM_TRAIN_ITERS rounds. Measured through the
+    operator's own helpers so the LSH-pruned assignment (not an
+    idealized brute force) is what's being scored."""
+    from pyspark.sql import functions as F
+
+    from mapreducecore_spark.catalog import load_tables
+    from mapreducecore_spark.llm.similarity import add_lsh_codes
+    from mapreducecore_spark.queries.curation import (
+        _SEM_DOCS_PER_CLUSTER,
+        _SEM_MIN_K,
+        _SEM_TRAIN_ITERS,
+        _sem_assign,
+        _sem_mean_update,
+    )
+    from mapreducecore_spark.queries._util import materialize
+
+    t = load_tables(spark, sf_dir)
+    e = materialize(
+        t["embeddings"].selectExpr(
+            "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+        )
+    )
+    n = e.count()
+    k = max(_SEM_MIN_K, -(-n // _SEM_DOCS_PER_CLUSTER))
+    c = e.orderBy("vec_id").limit(k).selectExpr(
+        "vec_id AS centroid_id",
+        "emb AS c_emb",
+        "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE),"
+        " (acc, v) -> acc + v) AS c_norm2",
+    )
+    vcodes = add_lsh_codes(e.select("vec_id", "emb")).select("vec_id", "tbl", "code")
+
+    def mean_best_d2(cents):
+        ccodes = add_lsh_codes(
+            cents.select("centroid_id", F.col("c_emb").alias("emb"))
+        ).select("centroid_id", "tbl", "code")
+        cand = (
+            vcodes.join(F.broadcast(ccodes), ["tbl", "code"])
+            .select("vec_id", "centroid_id")
+            .distinct()
+        )
+        fallback = (
+            e.select("vec_id")
+            .join(cand.select("vec_id").distinct(), "vec_id", "left_anti")
+            .crossJoin(F.broadcast(cents.select("centroid_id")))
+        )
+        from mapreducecore_spark.queries.curation import _D2_SPARK
+
+        scored = (
+            cand.unionByName(fallback)
+            .join(e.select("vec_id", "emb"), "vec_id")
+            .join(F.broadcast(cents), "centroid_id")
+            .selectExpr("vec_id", f"{_D2_SPARK} AS d2")
+        )
+        best = scored.groupBy("vec_id").agg(F.min("d2").alias("d2"))
+        return best.agg(F.avg("d2")).collect()[0][0]
+
+    seeded = mean_best_d2(c)
+    trained_c = c
+    for _ in range(_SEM_TRAIN_ITERS):
+        trained_c = _sem_mean_update(_sem_assign(e, vcodes, trained_c), e)
+    trained = mean_best_d2(trained_c)
+    assert trained < seeded - 1e-6, (seeded, trained)
