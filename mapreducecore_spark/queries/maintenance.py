@@ -170,9 +170,15 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPACT_SMALL_FILES = 64
 _COMPACT_TARGET_ROWS = 4096
 
+# File-count contract (ADVICE r3 hardening): Spark emits no file for an
+# empty partition, so the before-count is LEAST(64, rows); the rewrite
+# always produces at least one file even for an empty table, hence
+# GREATEST(..., 1). The Spark side pins maxRecordsPerFile=0 on both
+# writes so a host session's file-splitting conf cannot diverge from
+# this contract.
 _COMPACT_ORACLE = f"""
-    SELECT CAST({_COMPACT_SMALL_FILES} AS BIGINT) AS n_files_before,
-           CAST(CEIL(COUNT(*) / {_COMPACT_TARGET_ROWS}.0) AS BIGINT) AS n_files_after,
+    SELECT CAST(LEAST({_COMPACT_SMALL_FILES}, COUNT(*)) AS BIGINT) AS n_files_before,
+           CAST(GREATEST(CEIL(COUNT(*) / {_COMPACT_TARGET_ROWS}.0), 1) AS BIGINT) AS n_files_after,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
     FROM orders
@@ -197,28 +203,41 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     `write.option("maxRecordsPerFile", N)` when approximate sizing is
     acceptable (file count then depends on input layout, which is why
     the deterministic contract here uses repartition)."""
-    import atexit
     import shutil
     import tempfile
 
     t = load_tables(spark, sf_dir)
     scratch = tempfile.mkdtemp(prefix="mrc_compact_")
-    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-    small_dir, compact_dir = f"{scratch}/small", f"{scratch}/compact"
-    orders = t["orders"].select("o_orderkey", "o_totalprice")
-    orders.repartition(_COMPACT_SMALL_FILES).write.mode("overwrite").parquet(small_dir)
-    small = spark.read.parquet(small_dir)
-    n_before = len(small.inputFiles())
-    n_rows = small.count()
-    n_target = -(-n_rows // _COMPACT_TARGET_ROWS)
-    small.repartition(n_target).write.mode("overwrite").parquet(compact_dir)
-    compact = spark.read.parquet(compact_dir)
-    n_after = len(compact.inputFiles())
-    return compact.agg(
-        F.lit(n_before).cast("bigint").alias("n_files_before"),
-        F.lit(n_after).cast("bigint").alias("n_files_after"),
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_totalprice"),
-    )
+    try:
+        small_dir, compact_dir = f"{scratch}/small", f"{scratch}/compact"
+        orders = t["orders"].select("o_orderkey", "o_totalprice")
+        # maxRecordsPerFile=0 pins the one-file-per-partition contract
+        # even when a host session sets a global file-splitting conf.
+        orders.repartition(_COMPACT_SMALL_FILES).write.option(
+            "maxRecordsPerFile", 0
+        ).mode("overwrite").parquet(small_dir)
+        small = spark.read.parquet(small_dir)
+        n_before = len(small.inputFiles())
+        n_rows = small.count()
+        n_target = max(1, -(-n_rows // _COMPACT_TARGET_ROWS))
+        small.repartition(n_target).write.option("maxRecordsPerFile", 0).mode(
+            "overwrite"
+        ).parquet(compact_dir)
+        compact = spark.read.parquet(compact_dir)
+        n_after = len(compact.inputFiles())
+        # Materialize the 1-row summary BEFORE dropping the scratch dir
+        # (the lazy plan reads compact_dir); returning a local 1-row
+        # frame lets the function own its cleanup instead of leaking
+        # the directory until process exit (ADVICE r3).
+        row = compact.agg(
+            F.lit(n_before).cast("bigint").alias("n_files_before"),
+            F.lit(n_after).cast("bigint").alias("n_files_after"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        collected = row.collect()
+        return spark.createDataFrame(collected, row.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

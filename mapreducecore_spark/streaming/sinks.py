@@ -64,12 +64,29 @@ def versioned_merge_sink(
     )
 
 
+def _snapshot_versions(spark, state_dir: str) -> list[int]:
+    """List `v=<n>` snapshot versions under state_dir through the
+    Hadoop FileSystem API, so the sink works against ANY
+    Hadoop-compatible URI (HDFS/S3/local) — a driver-local os.listdir
+    would silently see no prior versions on a remote filesystem and
+    reset state every batch (ADVICE r3)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            out.append(int(name.split("=", 1)[1]))
+    return out
+
+
 def merge_batch_into(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
     """One MERGE step of versioned_merge_sink, module-level so replay
     idempotency is directly unit-testable: deterministic in
     (batch contents, batch_id, prior snapshots < batch_id)."""
-    import os
-
     from pyspark.sql import functions as F
 
     spark = batch_df.sparkSession
@@ -79,14 +96,17 @@ def merge_batch_into(batch_df: DataFrame, batch_id: int, state_dir: str) -> None
         F.max("ordkey").alias("ordkey"),
         F.count("*").alias("n_events"),
     )
-    prior = [
-        int(d.split("=", 1)[1])
-        for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
-        if d.startswith("v=") and int(d.split("=", 1)[1]) < batch_id
-    ]
+    prior = [v for v in _snapshot_versions(spark, state_dir) if v < batch_id]
     if prior:
-        p = spark.read.parquet(f"{state_dir}/v={max(prior)}").toDF(
-            "user_id", "p_type", "p_value", "p_ordkey", "p_n"
+        # Rename by NAME, not positionally: a positional toDF would
+        # silently mismap state if the snapshot's column order ever
+        # changed (schema evolution of the merge state; ADVICE r3).
+        p = spark.read.parquet(f"{state_dir}/v={max(prior)}").select(
+            "user_id",
+            F.col("last_type").alias("p_type"),
+            F.col("last_value").alias("p_value"),
+            F.col("ordkey").alias("p_ordkey"),
+            F.col("n_events").alias("p_n"),
         )
         newer = F.col("p_ordkey").isNull() | (
             F.col("ordkey").isNotNull() & (F.col("ordkey") > F.col("p_ordkey"))
@@ -113,11 +133,5 @@ def merge_batch_into(batch_df: DataFrame, batch_id: int, state_dir: str) -> None
 def latest_merge_snapshot(spark, state_dir: str) -> DataFrame:
     """Read the newest versioned snapshot written by
     versioned_merge_sink."""
-    import os
-
-    versions = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(state_dir)
-        if d.startswith("v=")
-    ]
+    versions = _snapshot_versions(spark, state_dir)
     return spark.read.parquet(f"{state_dir}/v={max(versions)}")
