@@ -43,7 +43,13 @@ FACTS = {
     "documents": """
         SELECT doc_id + c * {off} AS doc_id,
                CASE WHEN c = 0 THEN text ELSE text || ' copytok' || c END AS text,
-               lang, source, n_chars
+               lang,
+               -- Planted MEGA-DOMAIN (VERDICT r3 #2): ~1/3 of all docs
+               -- share one source key, the skew case domain_cap's
+               -- range-partitioned rank / WindowGroupLimit paths exist
+               -- for (a per-source window sort would put it in 1 task).
+               CASE WHEN (doc_id + c) % 3 = 0 THEN 'megadomain' ELSE source END AS source,
+               n_chars
         FROM src CROSS JOIN copies
         UNION ALL
         -- Planted giant exact-dup cluster (30 docs per copy, one shared

@@ -50,6 +50,12 @@ HEAVY = [
     "quality_classifier_hashed",
     "domain_cap_documents",
     "minhash_estimate_accuracy",
+    # Round-4 additions: kept-set domain cap (WindowGroupLimit path),
+    # newline line dedup, linearized entropy.
+    "domain_cap_kept",
+    "dedup_lines_newline",
+    "dedup_lines_ccnet",
+    "quality_token_entropy",
 ]
 
 
