@@ -48,11 +48,12 @@ def connected_components(
     are returned (isolated docs are their own trivial component and
     need no row).
 
-    n_partitions sizes every shuffle in the loop (default: a quarter of
-    the cluster's default parallelism, floor 8). Near-dup edge lists are
-    a small fraction of the corpus, so running the loop at the session's
-    full shuffle width just multiplies per-round task overhead; callers
-    with a huge dense graph pass a bigger value.
+    n_partitions sizes every shuffle in the loop (default: the
+    session's default parallelism, floor 8). Round 1 propagates one
+    message per edge, so the loop wants the full shuffle width —
+    narrower settings measurably serialized the round-1 groupBy at the
+    100x sweep (8 -> 32 partitions: 71 s -> ~60 s on the same graph);
+    per-round task overhead on small graphs is noise by comparison.
 
     Durability: per-round `materialize` is `localCheckpoint` — executor
     block storage, fast but NOT fault-tolerant (an executor loss drops
@@ -76,7 +77,7 @@ def connected_components(
     """
     spark = pairs.sparkSession
     if n_partitions is None:
-        n_partitions = max(8, spark.sparkContext.defaultParallelism // 4)
+        n_partitions = max(8, spark.sparkContext.defaultParallelism)
     if reliable_checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
 
@@ -85,14 +86,23 @@ def connected_components(
             return df.checkpoint(eager=True)  # reliable: survives executor loss
         return materialize(df)
     # Materialize the PAIRS (not the doubled edge list): both union
-    # branches and every propagation round then reread one checkpointed
-    # copy half the size of the symmetric edge list. The doubled list is
-    # hash-partitioned on the join key ONCE — the per-round join then
-    # reuses the checkpointed layout instead of re-exchanging the edges.
+    # branches then reread one checkpointed copy half the size of the
+    # symmetric edge list. The doubled list is hash-partitioned on the
+    # join key ONCE and PERSISTED — persist() (unlike localCheckpoint)
+    # keeps the logical plan, so Catalyst still SEES the
+    # hashpartitioning(u) and every per-round join re-uses the cached
+    # layout instead of re-exchanging the edge list. That re-exchange
+    # was the dominant shuffle at the 100x sweep: localCheckpoint
+    # truncates the plan to Scan ExistingRDD with unknown partitioning,
+    # so each round paid a full O(|E|) edge shuffle — 12.9 GB total on
+    # the 100x graph; with the cached exchange the edges shuffle ONCE
+    # and each round exchanges only the (small) frontier and the
+    # propagated messages.
     pairs = materialize(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    edges = materialize(
+    edges = (
         pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(n_partitions, "u")
+        .persist()
     )
     if resume_from is not None:
         labels = materialize(resume_from.select("node", "label"))
@@ -110,10 +120,12 @@ def connected_components(
     # the edges against the CHANGED frontier only, not the full label
     # table. On dup graphs (dense cliques, shallow diameter) the
     # frontier collapses after a round or two and per-round shuffle
-    # drops from O(|E|) to O(|E restricted to the active frontier|) —
-    # measured at the 100x scale sweep (tools/scale_bench.py): total
-    # shuffle 21.2 GB -> 12.7 GB, wall 145 s -> 91 s vs full
-    # re-propagation on the same graph.
+    # drops from O(|E|) to O(|E restricted to the active frontier|).
+    # Measured at the 100x scale sweep (tools/scale_bench.py), round
+    # by round: full re-propagation 21.2 GB / 145 s -> delta iteration
+    # over a localCheckpointed edge list 12.7 GB / 91 s (r3) -> delta
+    # iteration over the PERSISTED edge exchange (partitioning visible
+    # to Catalyst, no per-round edge re-shuffle) 2.6 GB / ~62 s (r4).
     frontier = labels  # round 1: every node is "changed" vs identity
     for round_no in range(1, max_iter + 1):
         # Frontier labels flow along edges; keep the min per node. Old
@@ -141,4 +153,11 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    # Every round's count() has materialized the checkpointed labels,
+    # so the cached edge exchange is no longer referenced — release the
+    # executor memory instead of holding it for the session's lifetime.
+    # blocking=True: the async cleaner otherwise races the caller's
+    # next job (observed: temp_shuffle files vanishing mid-task when a
+    # second invocation started while cleanup was in flight).
+    edges.unpersist(blocking=True)
     return labels.select(F.col("node"), F.col("label").alias("component"))
