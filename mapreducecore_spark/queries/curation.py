@@ -618,3 +618,115 @@ def domain_cap_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _DOMAIN_CAP)
         .select("doc_id", "source", "rank")
     )
+
+
+# ------------------------------------------ DSIR importance weights
+
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by the log-likelihood
+# ratio of a TARGET distribution vs the RAW distribution under a
+# hashed bag-of-ngrams model, then resample the raw corpus toward the
+# target. Here: unigram features hashed into _CLS_BUCKETS buckets (the
+# classifier's md5 trick), target = the 'src1' slice (a deterministic
+# stand-in for "a Wikipedia-quality seed set"), add-one smoothing.
+_DSIR_TARGET = "src1"
+
+_DSIR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS_DUCK}) AS token FROM documents
+    ), feats AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {_CLS_BUCKETS} AS bucket
+      FROM toks
+    ), raw AS (
+      SELECT bucket, COUNT(*) AS cr FROM feats GROUP BY bucket
+    ), tgt AS (
+      SELECT bucket, COUNT(*) AS ct FROM feats
+      WHERE source = '{_DSIR_TARGET}' GROUP BY bucket
+    ), nt AS (SELECT COUNT(*) AS n FROM feats WHERE source = '{_DSIR_TARGET}'),
+    nr AS (SELECT COUNT(*) AS n FROM feats),
+    lr AS (
+      SELECT r.bucket,
+             ROUND(ln(COALESCE(t.ct, 0) + 1) - ln(nt.n + {_CLS_BUCKETS})
+                   - ln(r.cr + 1) + ln(nr.n + {_CLS_BUCKETS}), 9) AS lnr
+      FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN nt CROSS JOIN nr
+    ), scored AS (
+      SELECT f.doc_id, CAST(lr.lnr AS DECIMAL(28,9)) AS lnr
+      FROM feats f JOIN lr USING (bucket)
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_toks,
+             ROUND(CAST(SUM(lnr) AS DOUBLE), 6) AS log_weight
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_toks, 0) AS BIGINT) AS n_toks,
+           COALESCE(a.log_weight, 0.0) AS log_weight,
+           COALESCE(a.log_weight, 0.0) >= 0 AS selected
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023): per-document log importance weight
+    ln p_target(doc) - ln p_raw(doc) under add-one-smoothed hashed
+    unigram models, the standard importance-resampling score for
+    steering a 100 TB raw crawl toward a high-quality seed
+    distribution. `selected` marks docs the target model likes at
+    least as much as the raw model (the deterministic stand-in for
+    the paper's Gumbel-top-k resample).
+
+    Scale shape: both bucket tables are bounded at _CLS_BUCKETS rows
+    regardless of corpus size — one map-side-partial count pass each,
+    then broadcast; scoring is a broadcast join per token with a
+    DECIMAL map-side-partial sum per doc (one shuffle keyed by
+    doc_id). Per-bucket log-ratios are rounded to 9 decimals BEFORE
+    the decimal sum, so the reduction order cannot flip the rounded
+    output (the perplexity determinism pattern)."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"])
+    feats = materialize(
+        docs.selectExpr("doc_id", "source", f"explode({_TOKS}) AS token").selectExpr(
+            "doc_id",
+            "source",
+            f"CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) % {_CLS_BUCKETS} AS bucket",
+        )
+    )
+    raw = feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (
+        feats.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    nt = feats.filter(F.col("source") == _DSIR_TARGET).agg(
+        F.count("*").alias("n_t")
+    )
+    nr = feats.agg(F.count("*").alias("n_r"))
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .selectExpr(
+            "bucket",
+            f"CAST(ROUND(ln(COALESCE(ct, 0) + 1) - ln(n_t + {_CLS_BUCKETS})"
+            f" - ln(cr + 1) + ln(n_r + {_CLS_BUCKETS}), 9) AS DECIMAL(28,9)) AS lnr",
+        )
+    )
+    agg = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.sum("lnr").cast("double"), 6).alias("log_weight"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(COALESCE(n_toks, 0) AS BIGINT) AS n_toks",
+            "COALESCE(log_weight, 0.0D) AS log_weight",
+            "COALESCE(log_weight, 0.0D) >= 0 AS selected",
+        )
+    )

@@ -808,6 +808,83 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_K = 4  # k-gram width (tokens)
+_WINNOW_W = 4  # winnowing window (consecutive gram hashes)
+
+
+@register(
+    "doc_fingerprint_winnow",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS tk FROM documents
+    ), gh AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, len(tk) - {_WINNOW_K - 1}),
+               i -> CAST(('0x' || substr(md5(
+                 concat_ws(' ', {", ".join(f"tk[i + {j}]" for j in range(_WINNOW_K))}
+               )), 1, 15)) AS BIGINT)) AS gh
+      FROM toks WHERE len(tk) >= {_WINNOW_K}
+    ), sel AS (
+      SELECT doc_id, len(gh) AS n_grams,
+             list_sort(list_distinct(list_transform(
+               generate_series(1, greatest(len(gh) - {_WINNOW_W - 1}, 1)),
+               i -> list_min(gh[i : i + {_WINNOW_W - 1}])))) AS fps
+      FROM gh
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(fps, ',')) AS fp_digest
+    FROM sel
+    """,
+)
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD 2003 — the MOSS algorithm):
+    hash every k-token gram, slide a w-hash window, select each
+    window's minimum hash. Guarantees any shared substring of length
+    >= w+k-1 tokens contributes at least one COMMON fingerprint between
+    two documents, while keeping the fingerprint density ~2/(w+1) —
+    the classic bounded-density local fingerprinting that
+    doc_fingerprint's single global min cannot give. Output: per-doc
+    fingerprint-set size + an order-canonical digest (two docs sharing
+    content overlap in fingerprints; identical docs get identical
+    digests).
+
+    Scale shape: pure per-row higher-order functions — O(n * w) work
+    per document, zero shuffles, codegen'd; the digest is the only
+    thing a downstream cross-doc join would exchange (~40 bytes/doc
+    for whole-doc matching, or the fingerprint list exploded for
+    partial-overlap candidate generation, LSH-style)."""
+    t = load_tables(spark, sf_dir)
+    gram = (
+        "transform(sequence(1, size(tk) - "
+        + str(_WINNOW_K - 1)
+        + "), i -> CAST(conv(substring(md5(concat_ws(' ', "
+        + ", ".join(f"element_at(tk, i + {j})" for j in range(_WINNOW_K))
+        + ")), 1, 15), 16, 10) AS BIGINT))"
+    )
+    return (
+        spread(t["documents"])
+        .selectExpr("doc_id", f"{_TOKS} AS tk")
+        .filter(F.expr(f"size(tk) >= {_WINNOW_K}"))
+        .selectExpr("doc_id", f"{gram} AS gh")
+        .selectExpr(
+            "doc_id",
+            "size(gh) AS n_grams",
+            f"array_sort(array_distinct(transform("
+            f"sequence(1, greatest(size(gh) - {_WINNOW_W - 1}, 1)),"
+            f" i -> array_min(slice(gh, i, {_WINNOW_W}))))) AS fps",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(n_grams AS BIGINT) AS n_grams",
+            "CAST(size(fps) AS BIGINT) AS n_fingerprints",
+            "md5(array_join(fps, ',')) AS fp_digest",
+        )
+    )
+
+
 # ------------------------------------------------------- similarity search
 
 from mapreducecore_spark.llm.similarity import (  # noqa: E402
@@ -1564,6 +1641,63 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = audio_window_stats(synthesize_wave(odds))
     return out.select(
         "doc_id", "window_idx", "n_samples", F.round("mean_amp", 6).alias("mean_amp")
+    )
+
+
+@register(
+    "multimodal_binary_dedup",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'img:' || (4 + doc_id % 13) || 'x' || (3 + doc_id % 7)
+                       || ':' || (doc_id % 251)
+                  ELSE 'wav:' || (8000 + 100 * (doc_id % 5)) || ':'
+                       || (100 + doc_id % 900) || ':' || (doc_id % 1000 - 500)
+             END AS content_key
+      FROM documents
+    )
+    SELECT MIN(doc_id) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CASE WHEN MIN(doc_id) % 2 = 0 THEN 'image/ppm'
+                ELSE 'audio/wav' END AS kind
+    FROM params GROUP BY content_key
+    """,
+)
+def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over MULTIMODAL binary payloads: md5 each blob's
+    bytes, group identical content, keep the lowest doc_id — the image
+    /audio counterpart of dedup_exact (real crawls carry the same
+    image under millions of URLs; content-hash dedup is the standard
+    first pass before any perceptual hashing). Payloads are the
+    synthesized PPM/WAV fixtures; since their bytes are a pure
+    function of doc_id-derived parameters, the oracle predicts the
+    dup GROUPS from the parameters alone — a value match proves the
+    byte-level hash grouped exactly the truly-identical payloads
+    (DuckDB never sees the binary).
+
+    Scale shape: the md5 runs inside the Arrow decode pass (one scan,
+    no Python round trip beyond the existing synthesis seam), then
+    ONE map-side-partial groupBy on the 16-byte digest — blob bytes
+    never shuffle. At 100 TB the digest table is the only exchange,
+    ~48 bytes/blob."""
+    from mapreducecore_spark.llm.multimodal import synthesize_payloads
+
+    t = load_tables(spark, sf_dir)
+    blobs = synthesize_payloads(spread(t["documents"]).select("doc_id"))
+    return (
+        blobs.select("doc_id", F.md5("payload").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .selectExpr(
+            "keeper_doc_id",
+            "n_copies",
+            "CASE WHEN keeper_doc_id % 2 = 0 THEN 'image/ppm'"
+            " ELSE 'audio/wav' END AS kind",
+        )
     )
 
 
