@@ -548,3 +548,60 @@ def stream_live_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_value").cast("double").alias("last_value"),
         "n_events",
     )
+
+
+@register(
+    "stream_live_quality_gate",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             len(list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                             x -> x <> '')) AS n_toks,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) FILTER (WHERE n_toks >= 10
+                                 AND n_chars <= 20 * n_toks) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE NOT (n_toks >= 10
+                                 AND n_chars <= 20 * n_toks)) AS BIGINT) AS n_dropped
+    FROM s GROUP BY source
+    """,
+)
+def stream_live_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time QUALITY GATE — the curation counterpart of
+    stream_live_doc_dedup: documents arrive as a stream, each is scored
+    with stateless JVM-side heuristics (token count floor + mean token
+    length ceiling, the structural core of a Gopher-style rule set),
+    and the gate's per-source kept/dropped tallies are drained and
+    compared to the batch oracle. This is how a 100 TB crawl applies
+    quality filtering ON INGEST, before paying storage for rejected
+    documents.
+
+    100 TB shape: the filter is stateless row-local expression work
+    (whole-stage codegen inside the micro-batch, no state store); only
+    the per-source counter aggregation keeps state — one row per
+    (source, flag), bounded by source cardinality."""
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    tune_session(spark)
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = "filter(split(text, '[ \\t\\n\\r]+'), x -> x <> '')"
+    out = (
+        docs.selectExpr(
+            "source",
+            f"(size({toks}) >= 10 AND length(text) <= 20 * size({toks})) AS keep",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        )
+    )
+    return _drain(out, spark)
