@@ -730,3 +730,54 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "COALESCE(log_weight, 0.0D) >= 0 AS selected",
         )
     )
+
+
+# --------------------------------- per-source quality percentile
+
+_PCTL_ORACLE = """
+    SELECT doc_id, source,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id), 6) AS pctl
+    FROM documents
+"""
+
+
+@register("quality_percentile_by_source", oracle=_PCTL_ORACLE)
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile calibration: each document's
+    percent rank within its source under the quality ordering
+    (n_chars DESC, doc_id) — the normalization step before mixing
+    sources with different score distributions (keep "top 20% of each
+    source" instead of one global threshold a verbose source would
+    dominate).
+
+    Scale shape: the same skew-safe exact-rank machinery as
+    domain_cap_documents (_ranged_local_rank: range partition over the
+    full ordering, local row_number, broadcast offsets) plus tiny
+    per-source totals — a PERCENT_RANK window partitioned by source
+    would put a mega-domain in one task. percent_rank ==
+    (row_number - 1) / (n - 1) because the ordering is total (doc_id
+    tiebreak); single-document sources score 0 in both engines."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "source", "n_chars")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    local = materialize(_ranged_local_rank(d, nparts))
+    cnt = local.groupBy("pid", "source").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnt.withColumn("off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+    totals = cnt.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    return (
+        local.join(F.broadcast(offs.select("pid", "source", "off")), ["pid", "source"])
+        .join(F.broadcast(totals), "source")
+        .selectExpr(
+            "doc_id",
+            "source",
+            "CASE WHEN n_src = 1 THEN 0.0D ELSE"
+            " ROUND((local_rank + off - 1) / CAST(n_src - 1 AS DOUBLE), 6)"
+            " END AS pctl",
+        )
+    )

@@ -114,8 +114,9 @@ def _mh_formula(h_expr: str, seed: int) -> str:
 # components downstream (llm.py dedup_connected_components).
 _MINHASH_MAX_BUCKET = 200
 
-_MINHASH_ORACLE = f"""
-    WITH docs AS (
+# The shared docs -> shingles -> minhash -> bands -> annotated-bucket
+# CTE chain (DuckDB side of _minhash_banded).
+_MINHASH_BANDED_DUCK = f"""docs AS (
       SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
     ), sh AS (
       SELECT doc_id,
@@ -136,7 +137,10 @@ _MINHASH_ORACLE = f"""
              COUNT(*) OVER (PARTITION BY band_id, sig) AS bw,
              MIN(doc_id) OVER (PARTITION BY band_id, sig) AS rep
       FROM bands
-    )
+    )"""
+
+_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_BANDED_DUCK}
     SELECT DISTINCT doc_a, doc_b FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
@@ -171,6 +175,25 @@ def _minhash_band_pairs(docs: DataFrame) -> DataFrame:
     over an arbitrary (doc_id, toks) frame — shared by the flagship
     full-corpus pair generator above and the exact-dup-collapsed edge
     builder the components family uses."""
+    banded = _minhash_banded(docs)
+    small = banded.filter(F.col("bw") <= _MINHASH_MAX_BUCKET)
+    a = small.select(F.col("doc_id").alias("doc_a"), "band_id", "sig")
+    b = small.select(F.col("doc_id").alias("doc_b"), "band_id", "sig")
+    clique = (
+        a.join(b, ["band_id", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    star = banded.filter(
+        (F.col("bw") > _MINHASH_MAX_BUCKET) & (F.col("doc_id") != F.col("rep"))
+    ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return clique.unionByName(star).distinct()
+
+
+def _minhash_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, sig, bw, rep): every document's LSH band
+    signatures annotated with bucket width and bucket representative —
+    the materialized index stage both pair generators join against."""
     sh = (
         docs.filter(F.expr("size(toks) >= 3"))
         .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
@@ -211,7 +234,7 @@ def _minhash_band_pairs(docs: DataFrame) -> DataFrame:
     # join branches and the star branch reuse the computed signatures
     # instead of re-running the shingle+minhash stage.
     wb = Window.partitionBy("band_id", "sig")
-    banded = materialize(
+    return materialize(
         bands.select(
             "doc_id",
             "band_id",
@@ -220,18 +243,62 @@ def _minhash_band_pairs(docs: DataFrame) -> DataFrame:
             F.min("doc_id").over(wb).alias("rep"),
         )
     )
-    small = banded.filter(F.col("bw") <= _MINHASH_MAX_BUCKET)
-    a = small.select(F.col("doc_id").alias("doc_a"), "band_id", "sig")
-    b = small.select(F.col("doc_id").alias("doc_b"), "band_id", "sig")
-    clique = (
-        a.join(b, ["band_id", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+
+
+_INCR_NEW_MOD = 10  # docs with doc_id % 10 == 0 form the "new batch"
+
+_INCR_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_BANDED_DUCK}
+    SELECT DISTINCT new_id, match_id FROM (
+      SELECT n.doc_id AS new_id, b.doc_id AS match_id
+      FROM banded n JOIN banded b
+        ON n.band_id = b.band_id AND n.sig = b.sig AND n.doc_id <> b.doc_id
+      WHERE n.doc_id % {_INCR_NEW_MOD} = 0 AND n.bw <= {_MINHASH_MAX_BUCKET}
+      UNION ALL
+      SELECT doc_id AS new_id, rep AS match_id FROM banded
+      WHERE doc_id % {_INCR_NEW_MOD} = 0 AND bw > {_MINHASH_MAX_BUCKET}
+        AND doc_id <> rep
+    )
+"""
+
+
+@register("dedup_incremental_minhash", oracle=_INCR_MINHASH_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup — the shape a production ingest actually
+    runs: a NEW batch (here doc_id % 10 == 0, the deterministic
+    stand-in for today's crawl) is checked against the EXISTING corpus
+    without re-pairing the whole corpus. Signatures/bands are computed
+    once for everyone (in production the old side's bands are the
+    persisted LSH index; only the new batch pays the shingle+minhash
+    CPU), then the band join is RESTRICTED to buckets touched by a new
+    document: output is (new_id, match_id) for every corpus document —
+    old or new — sharing a band bucket with the new doc. Existing-vs-
+    existing pairs are never generated, so per-batch cost follows the
+    BATCH size times bucket occupancy, not the corpus size. Oversized
+    buckets (> _MINHASH_MAX_BUCKET) degrade to matching the bucket
+    representative only — the star guard's incremental form, mirrored
+    in the oracle."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
+    banded = _minhash_banded(docs)
+    new_small = banded.filter(
+        (F.col("doc_id") % _INCR_NEW_MOD == 0)
+        & (F.col("bw") <= _MINHASH_MAX_BUCKET)
+    ).select(F.col("doc_id").alias("new_id"), "band_id", "sig")
+    matches = (
+        new_small.join(
+            banded.select(F.col("doc_id").alias("match_id"), "band_id", "sig"),
+            ["band_id", "sig"],
+        )
+        .filter(F.col("new_id") != F.col("match_id"))
+        .select("new_id", "match_id")
     )
     star = banded.filter(
-        (F.col("bw") > _MINHASH_MAX_BUCKET) & (F.col("doc_id") != F.col("rep"))
-    ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    return clique.unionByName(star).distinct()
+        (F.col("doc_id") % _INCR_NEW_MOD == 0)
+        & (F.col("bw") > _MINHASH_MAX_BUCKET)
+        & (F.col("doc_id") != F.col("rep"))
+    ).select(F.col("doc_id").alias("new_id"), F.col("rep").alias("match_id"))
+    return matches.unionByName(star).distinct()
 
 
 def _collapsed_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -145,3 +145,41 @@ def test_winnowing_shared_substring_guarantee(spark, sf_dir, tmp_path_factory):
         for r in REGISTRY["doc_fingerprint_winnow"].fn(spark, str(root)).collect()
     }
     assert len(out) == 3 and len(set(out.values())) == 3
+
+
+def test_incremental_minhash_scope(spark, sf_dir):
+    """Incremental dedup must (a) key every output row by a NEW-batch
+    doc, (b) never emit an existing-vs-existing pair, and (c) agree
+    with the full pair generator on which new docs have matches."""
+    rows = REGISTRY["dedup_incremental_minhash"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["new_id"] % 10 == 0
+        assert r["new_id"] != r["match_id"]
+    full = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    # Every small-bucket full pair touching a new doc must appear in
+    # the incremental output (star-guard buckets may differ in WHICH
+    # member they name, so restrict to pairs the full run also found).
+    incr = {(r["new_id"], r["match_id"]) for r in rows}
+    flat = {d for p in incr for d in p}
+    for p in full:
+        for new, other in ((p["doc_a"], p["doc_b"]), (p["doc_b"], p["doc_a"])):
+            if new % 10 == 0 and (new, other) not in incr:
+                # acceptable only if the bucket was star-guarded (both
+                # endpoints still surface somewhere in the output)
+                assert new in flat, (new, other)
+
+
+def test_percentile_by_source_bounds(spark, sf_dir):
+    """Percentiles land in [0, 1], each source's best doc scores 0 and
+    worst scores 1 (sources with >= 2 docs)."""
+    from collections import defaultdict
+
+    rows = REGISTRY["quality_percentile_by_source"].fn(spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        assert 0.0 <= r["pctl"] <= 1.0
+        by_src[r["source"]].append(r["pctl"])
+    for src, ps in by_src.items():
+        if len(ps) >= 2:
+            assert min(ps) == 0.0 and max(ps) == 1.0, src
