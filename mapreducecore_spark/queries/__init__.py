@@ -122,6 +122,16 @@ _PRIORITY: tuple[str, ...] = (
     # CHANGED in round 4 (trained centroids alter output values);
     # re-verified by the full-registry driver_sim run.
     "semdedup_prune",
+    # NEW in round 4 (never driver-verified; round-5 window candidates):
+    "domain_cap_kept",
+    "dedup_lines_newline",
+    "dsir_importance_weights",
+    "multimodal_binary_dedup",
+    "doc_fingerprint_winnow",
+    "dedup_incremental_minhash",
+    "quality_percentile_by_source",
+    "stream_live_quality_gate",
+    "stream_live_incremental_dedup",
     # Remaining never-driver-verified entries: round-5 window candidates
     # (all green in the local full-registry driver_sim run).
     "events_sessionize_batch",

@@ -605,3 +605,158 @@ def stream_live_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(out, spark)
+
+
+def _incr_bands_duck(prefix: str, where: str) -> str:
+    """Prefixed docs -> shingles -> in-row minhash -> bands CTE chain
+    for the streaming incremental-dedup oracle (two corpus slices need
+    two independent chains in one WITH)."""
+    from mapreducecore_spark.queries.llm import (
+        _MINHASH_SEEDS,
+        _TOKS_DUCK,
+        _mh_formula,
+        _shingles_duck,
+    )
+
+    p = prefix
+    mh_cols = ", ".join(
+        f"MIN({_mh_formula('h', s)}) AS mh{s}" for s in range(_MINHASH_SEEDS)
+    )
+    band_ids = ", ".join(str(b) for b in range(_MINHASH_SEEDS // 2))
+    sigs = ", ".join(
+        f"CAST(mh{2 * b} AS VARCHAR) || ':' || CAST(mh{2 * b + 1} AS VARCHAR)"
+        for b in range(_MINHASH_SEEDS // 2)
+    )
+    return f"""{p}docs AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents {where}
+    ), {p}sh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest({_shingles_duck(3)})), 1, 15)) AS BIGINT) AS h
+      FROM {p}docs WHERE len(toks) >= 3
+    ), {p}mh AS (
+      SELECT doc_id, {mh_cols} FROM {p}sh GROUP BY doc_id
+    ), {p}bands AS (
+      SELECT doc_id, band_id, sig FROM (
+        SELECT doc_id,
+               unnest([{band_ids}]) AS band_id,
+               unnest([{sigs}]) AS sig
+        FROM {p}mh)
+    )"""
+
+
+def _incr_stream_oracle() -> str:
+    from mapreducecore_spark.queries.llm import _MINHASH_MAX_BUCKET
+
+    return f"""
+    WITH {_incr_bands_duck("o_", "WHERE doc_id % 10 <> 0")},
+    o_banded AS (
+      SELECT doc_id, band_id, sig,
+             COUNT(*) OVER (PARTITION BY band_id, sig) AS bw,
+             MIN(doc_id) OVER (PARTITION BY band_id, sig) AS rep
+      FROM o_bands
+    ),
+    idx AS (
+      SELECT DISTINCT band_id, sig,
+             CASE WHEN bw <= {_MINHASH_MAX_BUCKET} THEN doc_id ELSE rep END AS match_id
+      FROM o_banded
+    ),
+    {_incr_bands_duck("n_", "WHERE doc_id % 10 = 0")}
+    SELECT DISTINCT n.doc_id AS new_id, i.match_id
+    FROM n_bands n JOIN idx i USING (band_id, sig)
+    """
+
+
+@register("stream_live_incremental_dedup", oracle=_incr_stream_oracle())
+def stream_live_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental near-dedup — the live form of
+    dedup_incremental_minhash: new documents (doc_id % 10 == 0) arrive
+    as a stream and are matched against the static LSH band index of
+    the existing corpus via a stream-static equi-join. The signature
+    stage is IN-ROW on the stream side (array_min over a transform of
+    the shingle array — no explode/groupBy, so computing 8 minhashes
+    per document is stateless, shuffle-free expression work inside the
+    micro-batch); the only stateful operator is the pair
+    dropDuplicates. The static index pre-collapses oversized buckets
+    to their representative (the star guard's index form), so a
+    degenerate bucket contributes ONE index row instead of thousands
+    of join partners.
+
+    100 TB shape: the index is (band_id, sig, match_id) — broadcast at
+    test scale, a co-partitioned shuffle join on a real cluster; dedup
+    state is one (new_id, match_id) entry per emitted pair, swapped
+    for dropDuplicatesWithinWatermark on an unbounded feed. Batch
+    equivalence (the oracle) is exact, including the bucket guard."""
+    import os
+
+    from mapreducecore_spark.queries.llm import (
+        _MINHASH_MAX_BUCKET,
+        _MINHASH_SEEDS,
+        _TOKS,
+        _mh_formula,
+        _minhash_banded,
+        _shingles_expr,
+    )
+    from mapreducecore_spark.catalog import load_tables
+    from mapreducecore_spark.queries._util import spread
+
+    tune_session(spark)
+    old_docs = (
+        spread(load_tables(spark, sf_dir)["documents"])
+        .filter(F.col("doc_id") % 10 != 0)
+        .selectExpr("doc_id", f"{_TOKS} AS toks")
+    )
+    idx = (
+        _minhash_banded(old_docs)
+        .selectExpr(
+            "band_id",
+            "sig",
+            f"CASE WHEN bw <= {_MINHASH_MAX_BUCKET} THEN doc_id ELSE rep END AS match_id",
+        )
+        .distinct()
+    )
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .selectExpr("doc_id", f"{_TOKS} AS toks")
+        .filter("size(toks) >= 3")
+        .selectExpr(
+            "doc_id",
+            f"transform({_shingles_expr(3)}, s ->"
+            " CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)) AS hs",
+        )
+        .selectExpr(
+            "doc_id",
+            *[
+                f"array_min(transform(hs, h -> {_mh_formula('h', s)})) AS mh{s}"
+                for s in range(_MINHASH_SEEDS)
+            ],
+        )
+    )
+    n_bands = _MINHASH_SEEDS // 2
+    bands = stream.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            ":", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col("doc_id").alias("new_id"), "b.band_id", "b.sig")
+    out = (
+        bands.join(idx, ["band_id", "sig"])
+        .select("new_id", "match_id")
+        .dropDuplicates(["new_id", "match_id"])
+    )
+    return _drain(out, spark, mode="append")
