@@ -127,37 +127,42 @@ def connected_components(
     # iteration over the PERSISTED edge exchange (partitioning visible
     # to Catalyst, no per-round edge re-shuffle) 2.6 GB / ~62 s (r4).
     frontier = labels  # round 1: every node is "changed" vs identity
-    for round_no in range(1, max_iter + 1):
-        # Frontier labels flow along edges; keep the min per node. Old
-        # rows are tagged so the same aggregate also yields each node's
-        # previous label — min-label propagation is monotone, so
-        # label < prev on any row iff the round changed something.
-        prop = edges.join(frontier, edges["u"] == frontier["node"]).select(
-            F.col("v").alias("node"), F.col("label"), F.lit(False).alias("is_old")
-        )
-        old = labels.select("node", "label", F.lit(True).alias("is_old"))
-        new_labels = durable(
-            old.union(prop)
-            .repartition(n_partitions, "node")
-            .groupBy("node")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("is_old"), F.col("label"))).alias("prev"),
-            ),
-            round_no,
-        )
-        frontier = new_labels.filter(F.col("label") < F.col("prev")).select(
-            "node", "label"
-        )
-        changed = frontier.count()
-        labels = new_labels.select("node", "label")
-        if changed == 0:
-            break
-    # Every round's count() has materialized the checkpointed labels,
-    # so the cached edge exchange is no longer referenced — release the
-    # executor memory instead of holding it for the session's lifetime.
-    # blocking=True: the async cleaner otherwise races the caller's
-    # next job (observed: temp_shuffle files vanishing mid-task when a
-    # second invocation started while cleanup was in flight).
-    edges.unpersist(blocking=True)
+    try:
+        for round_no in range(1, max_iter + 1):
+            # Frontier labels flow along edges; keep the min per node.
+            # Old rows are tagged so the same aggregate also yields each
+            # node's previous label — min-label propagation is monotone,
+            # so label < prev on any row iff the round changed something.
+            prop = edges.join(frontier, edges["u"] == frontier["node"]).select(
+                F.col("v").alias("node"), F.col("label"), F.lit(False).alias("is_old")
+            )
+            old = labels.select("node", "label", F.lit(True).alias("is_old"))
+            new_labels = durable(
+                old.union(prop)
+                .repartition(n_partitions, "node")
+                .groupBy("node")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("is_old"), F.col("label"))).alias("prev"),
+                ),
+                round_no,
+            )
+            frontier = new_labels.filter(F.col("label") < F.col("prev")).select(
+                "node", "label"
+            )
+            changed = frontier.count()
+            labels = new_labels.select("node", "label")
+            if changed == 0:
+                break
+    finally:
+        # Every completed round's count() has materialized the
+        # checkpointed labels, so the cached edge exchange is no longer
+        # referenced — release the executor memory instead of holding
+        # it for the session's lifetime; the finally makes sure a
+        # failed round doesn't leak the dominant cached object either.
+        # blocking=True: the async cleaner otherwise races the caller's
+        # next job (observed: temp_shuffle files vanishing mid-task
+        # when a second invocation started while cleanup was in
+        # flight).
+        edges.unpersist(blocking=True)
     return labels.select(F.col("node"), F.col("label").alias("component"))

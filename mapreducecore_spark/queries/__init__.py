@@ -52,7 +52,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # with entries that have NO driver row in r01/r02/r03 — TPC-H tail,
 # scalar-function batches, dq_* suite, graph, maintenance, the custom
 # Python DataSource, and the SQL-LATERAL UDTF — lifting cumulative
-# driver coverage toward 161/211. All 38 passed this repo's own
+# driver coverage toward 161 of the 211 round-3-era entries (the
+# registry has since grown to 220). All 38 passed this repo's own
 # full-registry driver_sim (211/211 at sf0.01) before rotation.
 # semdedup_prune sits at slot 51 (just outside the window): its
 # centroids are now Lloyd-trained, changing output values, and the

@@ -523,6 +523,25 @@ def _ranged_local_rank(d: DataFrame, nparts: int) -> DataFrame:
     return ranged.withColumn("local_rank", F.row_number().over(w_local))
 
 
+def _rank_offsets(local: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Stage 3 of the skew-safe exact rank, shared by the domain-cap
+    and percentile operators: per-(partition, source) counts (tiny —
+    sources are contiguous under the range order) cumulated per source
+    over ascending partition id. Returns (cnt, offs): offs carries
+    each partition's rank offset to broadcast-join back; cnt also
+    yields per-source totals for percentile denominators."""
+    cnt = local.groupBy("pid", "source").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnt.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "source", "off")
+    return cnt, offs
+
+
 @register("domain_cap_documents", oracle=_DOMAIN_ORACLE)
 def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap, audit form: rank each source's
@@ -563,17 +582,7 @@ def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join read it; the plan gate inspects _ranged_local_rank directly
     # (localCheckpoint truncates the visible plan to Scan ExistingRDD).
     local = materialize(_ranged_local_rank(d, nparts))
-    w_off = (
-        Window.partitionBy("source")
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = (
-        local.groupBy("pid", "source")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
-        .select("pid", "source", "off")
-    )
+    _, offs = _rank_offsets(local)
     return (
         local.join(F.broadcast(offs), ["pid", "source"])
         .withColumn("rank", (F.col("local_rank") + F.col("off")).cast("int"))
@@ -762,16 +771,10 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t["documents"].select("doc_id", "source", "n_chars")
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     local = materialize(_ranged_local_rank(d, nparts))
-    cnt = local.groupBy("pid", "source").agg(F.count("*").alias("cnt"))
-    w_off = (
-        Window.partitionBy("source")
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = cnt.withColumn("off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+    cnt, offs = _rank_offsets(local)
     totals = cnt.groupBy("source").agg(F.sum("cnt").alias("n_src"))
     return (
-        local.join(F.broadcast(offs.select("pid", "source", "off")), ["pid", "source"])
+        local.join(F.broadcast(offs), ["pid", "source"])
         .join(F.broadcast(totals), "source")
         .selectExpr(
             "doc_id",

@@ -326,18 +326,27 @@ def _collapsed_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-propagation loop sees a graph shrunk by the exact-dup factor
     (100x on the replicated scale-sweep corpora)."""
     t = load_tables(spark, sf_dir)
-    d = spread(t["documents"]).selectExpr(
-        "doc_id", "md5(text) AS th", f"size({_TOKS}) >= 3 AS shingled", "text"
+    docs = spread(t["documents"])
+    # Narrow (doc_id, th, shingled) projection materialized once: it
+    # feeds the class aggregate AND the member-star join, and Spark
+    # plans are trees — unmaterialized, the text scan + md5 +
+    # tokenization would run per consumer (the _line_dedup_from_lines
+    # rule). The wide text column deliberately stays OUT of the
+    # checkpoint: only rep_docs needs it, via one more (pruned) scan.
+    dn = materialize(
+        docs.selectExpr(
+            "doc_id", "md5(text) AS th", f"size({_TOKS}) >= 3 AS shingled"
+        )
     )
     classes = materialize(
-        d.groupBy("th").agg(F.min("doc_id").alias("rep"), F.count("*").alias("cw"))
+        dn.groupBy("th").agg(F.min("doc_id").alias("rep"), F.count("*").alias("cw"))
     )
-    rep_docs = d.join(
+    rep_docs = docs.select("doc_id", "text").join(
         classes.select(F.col("rep").alias("doc_id")), "doc_id"
     ).selectExpr("doc_id", f"{_TOKS} AS toks")
     rep_pairs = _minhash_band_pairs(rep_docs)
     member_stars = (
-        d.filter("shingled")
+        dn.filter("shingled")
         .select("doc_id", "th")
         .join(classes.filter(F.col("cw") >= 2), "th")
         .filter(F.col("doc_id") != F.col("rep"))

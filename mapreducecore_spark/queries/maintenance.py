@@ -170,15 +170,21 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPACT_SMALL_FILES = 64
 _COMPACT_TARGET_ROWS = 4096
 
-# File-count contract (ADVICE r3 hardening): Spark emits no file for an
-# empty partition, so the before-count is LEAST(64, rows); the rewrite
-# always produces at least one file even for an empty table, hence
-# GREATEST(..., 1). The Spark side pins maxRecordsPerFile=0 on both
-# writes so a host session's file-splitting conf cannot diverge from
-# this contract.
+# File-count contract (ADVICE r3 hardening): the scatter targets
+# LEAST(64, rows) partitions and the Spark side makes that count exact
+# by coalescing to one upstream partition first — multi-partition
+# round-robin starts each input partition at an arbitrary offset, so
+# output partitions can collide and undershoot the count when
+# rows ~ partitions. An empty table short-circuits to all-zero counts
+# on both sides (Spark writes no parquet for empty partitions, so the
+# scatter directory would not even be readable). maxRecordsPerFile=0
+# is pinned on both writes so a host session's file-splitting conf
+# cannot diverge from this contract.
 _COMPACT_ORACLE = f"""
     SELECT CAST(LEAST({_COMPACT_SMALL_FILES}, COUNT(*)) AS BIGINT) AS n_files_before,
-           CAST(GREATEST(CEIL(COUNT(*) / {_COMPACT_TARGET_ROWS}.0), 1) AS BIGINT) AS n_files_after,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                     ELSE CEIL(COUNT(*) / {_COMPACT_TARGET_ROWS}.0) END AS BIGINT)
+               AS n_files_after,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
     FROM orders
@@ -207,19 +213,34 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     import tempfile
 
     t = load_tables(spark, sf_dir)
+    orders = t["orders"].select("o_orderkey", "o_totalprice")
+    n_rows = orders.count()
+    schema = (
+        "n_files_before bigint, n_files_after bigint, "
+        "n_rows bigint, sum_totalprice double"
+    )
+    if n_rows == 0:
+        # Spark writes no parquet file for empty partitions, so the
+        # scatter directory would be unreadable — mirror the oracle's
+        # all-zero contract directly.
+        return spark.createDataFrame([(0, 0, 0, None)], schema)
     scratch = tempfile.mkdtemp(prefix="mrc_compact_")
     try:
         small_dir, compact_dir = f"{scratch}/small", f"{scratch}/compact"
-        orders = t["orders"].select("o_orderkey", "o_totalprice")
+        # coalesce(1) first: round-robin from ONE input partition fills
+        # the target partitions strictly sequentially, so with
+        # n_small <= rows every partition is non-empty and the file
+        # count is exactly LEAST(64, rows) — multi-partition
+        # round-robin starts at arbitrary offsets and can collide.
         # maxRecordsPerFile=0 pins the one-file-per-partition contract
         # even when a host session sets a global file-splitting conf.
-        orders.repartition(_COMPACT_SMALL_FILES).write.option(
+        n_small = min(_COMPACT_SMALL_FILES, n_rows)
+        orders.coalesce(1).repartition(n_small).write.option(
             "maxRecordsPerFile", 0
         ).mode("overwrite").parquet(small_dir)
         small = spark.read.parquet(small_dir)
         n_before = len(small.inputFiles())
-        n_rows = small.count()
-        n_target = max(1, -(-n_rows // _COMPACT_TARGET_ROWS))
+        n_target = -(-n_rows // _COMPACT_TARGET_ROWS)
         small.repartition(n_target).write.option("maxRecordsPerFile", 0).mode(
             "overwrite"
         ).parquet(compact_dir)

@@ -134,4 +134,8 @@ def latest_merge_snapshot(spark, state_dir: str) -> DataFrame:
     """Read the newest versioned snapshot written by
     versioned_merge_sink."""
     versions = _snapshot_versions(spark, state_dir)
+    if not versions:
+        raise FileNotFoundError(
+            f"no merge snapshots (v=<n> directories) under {state_dir}"
+        )
     return spark.read.parquet(f"{state_dir}/v={max(versions)}")
