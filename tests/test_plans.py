@@ -445,3 +445,40 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dsir_no_cartesian_and_partial_aggs(spark, sf_dir):
+    """dsir_importance_weights: the only nested-loop joins are the
+    1-row total broadcasts (never a CartesianProduct); the bucket
+    counts and per-doc sums partial-aggregate map-side."""
+    plan = plan_of(REGISTRY["dsir_importance_weights"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "BroadcastHashJoin" in plan  # lnr table joined broadcast
+
+
+def test_incremental_minhash_no_cartesian(spark, sf_dir):
+    """dedup_incremental_minhash: the band join is an equi-join on
+    (band_id, sig) — never a cartesian — and the new-batch filter
+    sits below it."""
+    plan = plan_of(REGISTRY["dedup_incremental_minhash"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_zero_shuffle_after_spread(spark, sf_dir):
+    """doc_fingerprint_winnow is pure per-row expression work: the only
+    exchange allowed is spread()'s round-robin widen of the narrow
+    input scan; no aggregate anywhere."""
+    plan = plan_of(REGISTRY["doc_fingerprint_winnow"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange") <= 1, plan
+    assert "HashAggregate" not in plan
+
+
+def test_percentile_skew_safe_rank(spark, sf_dir):
+    """quality_percentile_by_source rides the same range-partitioned
+    rank as domain_cap: no source-only row_number window in the outer
+    plan (the ranking stage itself is gated via _ranged_local_rank in
+    test_domain_cap_skew_safe_rank)."""
+    plan = plan_of(REGISTRY["quality_percentile_by_source"].fn(spark, sf_dir))
+    for line in (l for l in plan.splitlines() if "row_number" in l):
+        assert "pid" in line, f"source-only rank window:\n{line}"
