@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "quality_percentile_by_source",
     "stream_live_quality_gate",
     "stream_live_incremental_dedup",
+    "corpus_curation_pipeline_v2",
     # Remaining never-driver-verified entries: round-5 window candidates
     # (all green in the local full-registry driver_sim run).
     "events_sessionize_batch",

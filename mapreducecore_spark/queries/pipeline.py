@@ -1329,3 +1329,117 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(-F.sum("lnp").cast("double") / F.count("*")), 4
         ).alias("perplexity"),
     )
+
+
+# --------------------- full curation composition v2 (round 4)
+
+def _curation_v2_oracle() -> str:
+    from mapreducecore_spark.queries.curation import _DOMAIN_CAP, _DSIR_ORACLE
+
+    return f"""
+    WITH q AS (
+      SELECT doc_id, source, text,
+             ROUND(LEAST(CAST(len({_TOKS_DUCK}) AS DOUBLE) / 50.0, 1.0)
+                   * (1.0 - 0.5 * CAST(len(list_filter({_TOKS_DUCK},
+                        x -> list_contains([{_SW}], x))) AS DOUBLE)
+                     / GREATEST(len({_TOKS_DUCK}), 1)), 6) AS quality
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM q WHERE quality >= 0.3
+    ), keepers AS (
+      SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS h,
+             MIN(doc_id) AS doc_id
+      FROM filtered GROUP BY 1
+    ), kept AS (
+      SELECT f.doc_id, f.source, f.quality FROM filtered f
+      JOIN keepers k ON k.doc_id = f.doc_id
+    ), capped AS (
+      SELECT doc_id, source, quality, rank FROM (
+        SELECT doc_id, source, quality,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rank
+        FROM kept)
+      WHERE rank <= {_DOMAIN_CAP}
+    ), dsir AS (
+      SELECT * FROM ({_DSIR_ORACLE})
+    )
+    SELECT c.doc_id, c.source, c.quality, c.rank, d.log_weight,
+           CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT *,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM capped) c
+    JOIN dsir d ON d.doc_id = c.doc_id
+    WHERE d.selected
+"""
+
+
+@register("corpus_curation_pipeline_v2", oracle=_curation_v2_oracle())
+def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL round-4 curation stack composed end-to-end: quality
+    gate (map-side heuristics) -> normalized exact dedup (one shuffle
+    on the content hash, keep lowest doc_id) -> per-domain cap (top-N
+    per source by quality; the rank <= cap filter rides
+    WindowGroupLimit's partial top-k below the exchange) -> DSIR
+    importance selection (corpus-level hashed-unigram models, bounded
+    bucket tables broadcast) -> reproducible train/val/test split
+    (map-side md5 arithmetic). Every stage is individually
+    oracle-checked elsewhere (corpus_curation_pipeline, dedup_exact_
+    normalized, domain_cap_kept, dsir_importance_weights,
+    split_train_val_test); this entry pins their COMPOSITION — the
+    crawl-to-training-mix pipeline a 100 TB run executes as one job.
+
+    Scale shape: two corpus-wide shuffles total (content-hash keeper,
+    DSIR per-doc sum) plus the capped window's partial top-k and two
+    1024-row broadcast model tables; no stage widens the data beyond
+    the surviving rows."""
+    from pyspark.sql import Window
+
+    from mapreducecore_spark.queries.curation import (
+        _DOMAIN_CAP,
+        dsir_importance_weights,
+    )
+
+    t = load_tables(spark, sf_dir)
+    sw_arr = "array(" + _SW + ")"
+    q = spread(t["documents"]).selectExpr(
+        "doc_id",
+        "source",
+        "text",
+        f"""ROUND(LEAST(CAST(size({_TOKS}) AS DOUBLE) / 50.0, 1.0)
+             * (1.0 - 0.5 * CAST(size(filter({_TOKS},
+                  x -> array_contains({sw_arr}, x))) AS DOUBLE)
+               / GREATEST(size({_TOKS}), 1)), 6) AS quality""",
+    )
+    filtered = materialize(
+        q.filter("quality >= 0.3").withColumn(
+            "h", F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " ")))
+        )
+    )
+    keepers = filtered.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = filtered.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    w_cap = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    capped = (
+        kept.select("doc_id", "source", "quality")
+        .withColumn("rank", F.row_number().over(w_cap))
+        .filter(F.col("rank") <= _DOMAIN_CAP)
+    )
+    dsir = dsir_importance_weights(spark, sf_dir)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    return (
+        capped.join(dsir.filter("selected").select("doc_id", "log_weight"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "rank",
+            "log_weight",
+            F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias(
+                "split"
+            ),
+        )
+    )
