@@ -657,7 +657,7 @@ _DSIR_ORACLE = f"""
     lr AS (
       SELECT r.bucket,
              ROUND(ln(COALESCE(t.ct, 0) + 1) - ln(nt.n + {_CLS_BUCKETS})
-                   - ln(r.cr + 1) + ln(nr.n + {_CLS_BUCKETS}), 9) AS lnr
+                   - ln(r.cr + 1) + ln(nr.n + {_CLS_BUCKETS}), 6) AS lnr
       FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN nt CROSS JOIN nr
     ), scored AS (
       SELECT f.doc_id, CAST(lr.lnr AS DECIMAL(28,9)) AS lnr
@@ -689,9 +689,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size — one map-side-partial count pass each,
     then broadcast; scoring is a broadcast join per token with a
     DECIMAL map-side-partial sum per doc (one shuffle keyed by
-    doc_id). Per-bucket log-ratios are rounded to 9 decimals BEFORE
-    the decimal sum, so the reduction order cannot flip the rounded
-    output (the perplexity determinism pattern)."""
+    doc_id). Per-bucket log-ratios are rounded to 6 decimals BEFORE
+    the decimal sum — coarse enough that a 1-ulp JVM-vs-libm ln()
+    divergence (4 ln calls x 1024 buckets; a 9-decimal grid measured a
+    real flip at sf0.1) sits ~9 orders inside the rounding grid — and
+    the order-independent DECIMAL sum is emitted at the SAME 6-decimal
+    scale (an identity round): a COARSER final round would land on
+    exact .5 half-cases of the decimal grid, which Spark (BigDecimal
+    HALF_UP on the decimal string) and DuckDB (binary-double rounding)
+    break differently — measured as 42 one-ulp-of-grid mismatches at
+    sf0.1 before this was pinned."""
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"])
     feats = materialize(
@@ -718,7 +725,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "bucket",
             f"CAST(ROUND(ln(COALESCE(ct, 0) + 1) - ln(n_t + {_CLS_BUCKETS})"
-            f" - ln(cr + 1) + ln(n_r + {_CLS_BUCKETS}), 9) AS DECIMAL(28,9)) AS lnr",
+            f" - ln(cr + 1) + ln(n_r + {_CLS_BUCKETS}), 6) AS DECIMAL(28,9)) AS lnr",
         )
     )
     agg = (
