@@ -154,12 +154,25 @@ def connected_components(
             labels = new_labels.select("node", "label")
             if changed == 0:
                 break
+        # Eagerly checkpoint the FINAL labels before the finally block
+        # releases the edge cache. Each completed round's count()
+        # already forced the lazy checkpoint (making this a cheap
+        # narrow re-materialization of the label table), but the
+        # zero-round path (max_iter == 0 with resume_from) never did —
+        # and the eager checkpoint makes the invariant structural
+        # instead of incidental: the returned plan reads materialized
+        # label blocks and provably no longer references the
+        # unpersisted edge exchange, so the cache benefit can't
+        # silently disappear into a full recomputation (ADVICE r4).
+        labels = labels.localCheckpoint(eager=True)
     finally:
-        # Every completed round's count() has materialized the
-        # checkpointed labels, so the cached edge exchange is no longer
-        # referenced — release the executor memory instead of holding
-        # it for the session's lifetime; the finally makes sure a
-        # failed round doesn't leak the dominant cached object either.
+        # The eager checkpoint above guarantees the returned labels no
+        # longer reference the cached edge exchange — release the
+        # executor memory instead of holding it for the session's
+        # lifetime; the finally makes sure a failed round doesn't leak
+        # the dominant cached object either (on the exception path the
+        # frame is never returned, so no caller can recompute through
+        # the released cache).
         # blocking=True: the async cleaner otherwise races the caller's
         # next job (observed: temp_shuffle files vanishing mid-task
         # when a second invocation started while cleanup was in

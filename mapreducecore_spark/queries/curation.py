@@ -640,9 +640,14 @@ def domain_cap_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stand-in for "a Wikipedia-quality seed set"), add-one smoothing.
 _DSIR_TARGET = "src1"
 
-_DSIR_ORACLE = f"""
+
+def _dsir_oracle_sql(table: str = "documents") -> str:
+    """The DSIR scoring chain over an arbitrary (doc_id, source, text)
+    relation — `documents` for the standalone entry, the curated
+    survivor set for corpus_curation_pipeline_v3."""
+    return f"""
     WITH toks AS (
-      SELECT doc_id, source, unnest({_TOKS_DUCK}) AS token FROM documents
+      SELECT doc_id, source, unnest({_TOKS_DUCK}) AS token FROM {table}
     ), feats AS (
       SELECT doc_id, source,
              CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {_CLS_BUCKETS} AS bucket
@@ -671,8 +676,11 @@ _DSIR_ORACLE = f"""
            CAST(COALESCE(a.n_toks, 0) AS BIGINT) AS n_toks,
            COALESCE(a.log_weight, 0.0) AS log_weight,
            COALESCE(a.log_weight, 0.0) >= 0 AS selected
-    FROM documents d LEFT JOIN agg a USING (doc_id)
+    FROM {table} d LEFT JOIN agg a USING (doc_id)
 """
+
+
+_DSIR_ORACLE = _dsir_oracle_sql()
 
 
 @register("dsir_importance_weights", oracle=_DSIR_ORACLE)
@@ -700,7 +708,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     break differently — measured as 42 one-ulp-of-grid mismatches at
     sf0.1 before this was pinned."""
     t = load_tables(spark, sf_dir)
-    docs = spread(t["documents"])
+    return _dsir_scores(spread(t["documents"]))
+
+
+def _dsir_scores(docs: DataFrame) -> DataFrame:
+    """The DSIR scoring chain over an arbitrary (doc_id, source, text)
+    frame — raw and target unigram models are trained on THIS corpus,
+    every row of it is scored. corpus_curation_pipeline_v3 feeds the
+    gated+deduped+capped survivor set here (the order Xie et al. run);
+    the standalone entry feeds the whole documents table."""
     feats = materialize(
         docs.selectExpr("doc_id", "source", f"explode({_TOKS}) AS token").selectExpr(
             "doc_id",

@@ -190,10 +190,11 @@ def _minhash_band_pairs(docs: DataFrame) -> DataFrame:
     return clique.unionByName(star).distinct()
 
 
-def _minhash_banded(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_id, sig, bw, rep): every document's LSH band
-    signatures annotated with bucket width and bucket representative —
-    the materialized index stage both pair generators join against."""
+def _band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, sig): the raw LSH band membership rows for an
+    arbitrary (doc_id, toks) frame — the schema of the PERSISTED band
+    index a production ingest maintains as a table (see
+    dedup_band_index_build / dedup_incremental_persisted)."""
     sh = (
         docs.filter(F.expr("size(toks) >= 3"))
         .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
@@ -213,7 +214,7 @@ def _minhash_banded(docs: DataFrame) -> DataFrame:
         ]
     )
     n_bands = _MINHASH_SEEDS // 2
-    bands = mh.select(
+    return mh.select(
         "doc_id",
         F.explode(
             F.array(
@@ -229,20 +230,30 @@ def _minhash_banded(docs: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.sig")
-    # Bucket width + representative via one window pass (shuffle keyed
-    # on the same (band_id, sig) the self-join uses). Materialize: both
-    # join branches and the star branch reuse the computed signatures
-    # instead of re-running the shingle+minhash stage.
+
+
+def _bucket_stats(bands: DataFrame) -> DataFrame:
+    """Annotate band rows with bucket width + representative via one
+    window pass (shuffle keyed on the same (band_id, sig) the pair
+    joins use)."""
     wb = Window.partitionBy("band_id", "sig")
-    return materialize(
-        bands.select(
-            "doc_id",
-            "band_id",
-            "sig",
-            F.count("*").over(wb).alias("bw"),
-            F.min("doc_id").over(wb).alias("rep"),
-        )
+    return bands.select(
+        "doc_id",
+        "band_id",
+        "sig",
+        F.count("*").over(wb).alias("bw"),
+        F.min("doc_id").over(wb).alias("rep"),
     )
+
+
+def _minhash_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, sig, bw, rep): every document's LSH band
+    signatures annotated with bucket width and bucket representative —
+    the materialized index stage both pair generators join against.
+    Materialize: both join branches and the star branch reuse the
+    computed signatures instead of re-running the shingle+minhash
+    stage."""
+    return materialize(_bucket_stats(_band_signatures(docs)))
 
 
 _INCR_NEW_MOD = 10  # docs with doc_id % 10 == 0 form the "new batch"
@@ -299,6 +310,178 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_id") != F.col("rep"))
     ).select(F.col("doc_id").alias("new_id"), F.col("rep").alias("match_id"))
     return matches.unionByName(star).distinct()
+
+
+def _sliced_bands_duck(prefix: str, where: str) -> str:
+    """Prefixed docs -> shingles -> minhash -> bands CTE chain over a
+    WHERE-restricted corpus slice (used by the band-index and
+    streaming incremental-dedup oracles, which need two independent
+    chains — old corpus vs new batch — in one WITH)."""
+    p = prefix
+    mh_cols = ", ".join(
+        f"MIN({_mh_formula('h', s)}) AS mh{s}" for s in range(_MINHASH_SEEDS)
+    )
+    band_ids = ", ".join(str(b) for b in range(_MINHASH_SEEDS // 2))
+    sigs = ", ".join(
+        f"CAST(mh{2 * b} AS VARCHAR) || ':' || CAST(mh{2 * b + 1} AS VARCHAR)"
+        for b in range(_MINHASH_SEEDS // 2)
+    )
+    return f"""{p}docs AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents {where}
+    ), {p}sh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest({_shingles_duck(3)})), 1, 15)) AS BIGINT) AS h
+      FROM {p}docs WHERE len(toks) >= 3
+    ), {p}mh AS (
+      SELECT doc_id, {mh_cols} FROM {p}sh GROUP BY doc_id
+    ), {p}bands AS (
+      SELECT doc_id, band_id, sig FROM (
+        SELECT doc_id,
+               unnest([{band_ids}]) AS band_id,
+               unnest([{sigs}]) AS sig
+        FROM {p}mh)
+    )"""
+
+
+_BAND_INDEX_ORACLE = f"""
+    WITH {_sliced_bands_duck("o_", f"WHERE doc_id % {_INCR_NEW_MOD} <> 0")},
+    buckets AS (
+      SELECT band_id, sig, COUNT(*) AS bw
+      FROM o_bands GROUP BY band_id, sig
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM o_bands)
+             AS n_docs_indexed,
+           CAST(SUM(bw) AS BIGINT) AS n_index_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(bw) AS BIGINT) AS max_bucket_width
+    FROM buckets
+"""
+
+
+@register("dedup_band_index_build", oracle=_BAND_INDEX_ORACLE)
+def dedup_band_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build and PERSIST the LSH band index of the existing corpus
+    (doc_id % 10 != 0 — the complement of the incremental ops' "new
+    batch") as a parquet table of (doc_id, band_id, sig), then report
+    summary statistics READ BACK from the written files, proving the
+    write. This is the maintenance job behind dedup_incremental_
+    persisted: production keeps this table up to date (append new
+    docs' bands after each ingest) so an incremental run never re-pays
+    the corpus-wide shingle+minhash CPU (VERDICT r4 #4).
+
+    Scale shape: the index is 4 rows x ~30 bytes per document
+    regardless of text size; the build is the standard single-shuffle
+    signature pipeline; the write partitions naturally by whatever the
+    upstream shuffle produced. At 100 TB, bucket the table by
+    (band_id, sig) at write time so incremental probes co-partition
+    with zero index-side shuffle."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    old_docs = (
+        spread(t["documents"])
+        .filter(F.col("doc_id") % _INCR_NEW_MOD != 0)
+        .selectExpr("doc_id", f"{_TOKS} AS toks")
+    )
+    scratch = tempfile.mkdtemp(prefix="mrc_bandidx_")
+    try:
+        _band_signatures(old_docs).write.mode("overwrite").parquet(
+            f"{scratch}/band_index"
+        )
+        idx = spark.read.parquet(f"{scratch}/band_index")
+        buckets = idx.groupBy("band_id", "sig").agg(F.count("*").alias("bw"))
+        row = buckets.agg(
+            F.sum("bw").cast("bigint").alias("n_index_rows"),
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.max("bw").cast("bigint").alias("max_bucket_width"),
+        ).crossJoin(
+            F.broadcast(
+                idx.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs_indexed"))
+            )
+        ).select("n_docs_indexed", "n_index_rows", "n_buckets", "max_bucket_width")
+        # Materialize the 1-row summary BEFORE dropping the scratch dir
+        # (the lazy plan reads the written index).
+        collected = row.collect()
+        return spark.createDataFrame(collected, row.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register("dedup_incremental_persisted", oracle=_INCR_MINHASH_ORACLE)
+def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup against a PERSISTED band index — the
+    two-step production path dedup_incremental_minhash's docstring
+    promises (VERDICT r4 #4): step 1 writes the existing corpus's band
+    index to parquet (dedup_band_index_build's artifact); step 2 runs
+    the new batch (doc_id % 10 == 0) against the index READ FROM DISK,
+    paying shingle+minhash CPU only for the new documents. Bucket
+    stats (width guard + representative) are recomputed over index ∪
+    new-batch rows RESTRICTED to buckets a new document touches
+    (left-semi on the new batch's signatures), so untouched buckets —
+    the overwhelming majority at scale — are never widened or
+    windowed. Output is provably identical to dedup_incremental_
+    minhash (same oracle; tests/test_llm_pipeline.py asserts frame
+    equality), because touched buckets have identical membership
+    either way.
+
+    Scale shape: per-run cost = new-batch signature CPU + one
+    co-partitionable semi-join against the index + a window over
+    touched-bucket rows only. The index read is a column-pruned
+    parquet scan; at 100 TB the table is bucketed by (band_id, sig)
+    so the probe join is shuffle-free on the index side."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"])
+    scratch = tempfile.mkdtemp(prefix="mrc_incrpers_")
+    try:
+        # Step 1 — the maintenance write (old corpus only).
+        _band_signatures(
+            docs.filter(F.col("doc_id") % _INCR_NEW_MOD != 0).selectExpr(
+                "doc_id", f"{_TOKS} AS toks"
+            )
+        ).write.mode("overwrite").parquet(f"{scratch}/band_index")
+
+        # Step 2 — incremental run: new-batch signatures vs the index.
+        idx = spark.read.parquet(f"{scratch}/band_index")
+        new_bands = materialize(
+            _band_signatures(
+                docs.filter(F.col("doc_id") % _INCR_NEW_MOD == 0).selectExpr(
+                    "doc_id", f"{_TOKS} AS toks"
+                )
+            )
+        )
+        touched = new_bands.select("band_id", "sig").distinct()
+        bucket_rows = (
+            idx.unionByName(new_bands)
+            .join(touched, ["band_id", "sig"], "left_semi")
+        )
+        banded = materialize(_bucket_stats(bucket_rows))
+        is_new = F.col("doc_id") % _INCR_NEW_MOD == 0
+        new_small = banded.filter(
+            is_new & (F.col("bw") <= _MINHASH_MAX_BUCKET)
+        ).select(F.col("doc_id").alias("new_id"), "band_id", "sig")
+        matches = (
+            new_small.join(
+                banded.select(F.col("doc_id").alias("match_id"), "band_id", "sig"),
+                ["band_id", "sig"],
+            )
+            .filter(F.col("new_id") != F.col("match_id"))
+            .select("new_id", "match_id")
+        )
+        star = banded.filter(
+            is_new
+            & (F.col("bw") > _MINHASH_MAX_BUCKET)
+            & (F.col("doc_id") != F.col("rep"))
+        ).select(F.col("doc_id").alias("new_id"), F.col("rep").alias("match_id"))
+        out = matches.unionByName(star).distinct()
+        # Eager checkpoint: the returned plan must not reference the
+        # scratch index once it is deleted below.
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _collapsed_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

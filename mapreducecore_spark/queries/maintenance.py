@@ -191,6 +191,35 @@ _COMPACT_ORACLE = f"""
 """
 
 
+def _write_exact_files(df: DataFrame, n_files: int, path: str) -> None:
+    """Write df as EXACTLY n_files parquet files.
+
+    Precondition: n_files <= rows (callers clamp with
+    min(n_files, count)). Round-robin from one partition then gives
+    every target partition >= floor(rows/n_files) >= 1 row — this
+    matters because Spark writes partition 0's file even when EMPTY
+    (schema preservation), so an unfilled partition 0 would add a
+    spurious empty file to the count.
+
+    coalesce(1) first: round-robin from ONE input partition fills the
+    target partitions strictly sequentially, so with n_files <= rows
+    every partition is non-empty — multi-partition round-robin starts
+    each source partition at an arbitrary offset, and with rows near
+    n_files the offsets collide and leave empty partitions. The
+    eager localCheckpoint MATERIALIZES the single-partition layout:
+    without it, Catalyst's CollapseRepartition rewrites
+    coalesce(1).repartition(n) into repartition(n) over the raw
+    multi-partition scan and silently reintroduces exactly that
+    collision (ADVICE r4 — verified: 70 rows over 8 input partitions
+    yielded 49 of 64 target files). maxRecordsPerFile=0 pins the
+    one-file-per-partition contract even when a host session sets a
+    global file-splitting conf."""
+    one = df.coalesce(1).localCheckpoint(eager=True)
+    one.repartition(n_files).write.option("maxRecordsPerFile", 0).mode(
+        "overwrite"
+    ).parquet(path)
+
+
 @register("maintenance_compact_small_files", oracle=_COMPACT_ORACLE)
 def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction as an operator: scatter `orders` into 64
@@ -227,20 +256,17 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     scratch = tempfile.mkdtemp(prefix="mrc_compact_")
     try:
         small_dir, compact_dir = f"{scratch}/small", f"{scratch}/compact"
-        # coalesce(1) first: round-robin from ONE input partition fills
-        # the target partitions strictly sequentially, so with
-        # n_small <= rows every partition is non-empty and the file
-        # count is exactly LEAST(64, rows) — multi-partition
-        # round-robin starts at arbitrary offsets and can collide.
-        # maxRecordsPerFile=0 pins the one-file-per-partition contract
-        # even when a host session sets a global file-splitting conf.
         n_small = min(_COMPACT_SMALL_FILES, n_rows)
-        orders.coalesce(1).repartition(n_small).write.option(
-            "maxRecordsPerFile", 0
-        ).mode("overwrite").parquet(small_dir)
+        _write_exact_files(orders, n_small, small_dir)
         small = spark.read.parquet(small_dir)
         n_before = len(small.inputFiles())
         n_target = -(-n_rows // _COMPACT_TARGET_ROWS)
+        # Multi-partition round-robin is provably exact HERE (unlike
+        # the scatter): the widest input partition holds
+        # ceil(rows/64) >= ceil(rows/4096) = n_target rows, and k rows
+        # cycled from one partition hit min(k, n_target) distinct
+        # targets — so every target partition is non-empty without
+        # paying the scatter's coalesce(1) serialization.
         small.repartition(n_target).write.option("maxRecordsPerFile", 0).mode(
             "overwrite"
         ).parquet(compact_dir)

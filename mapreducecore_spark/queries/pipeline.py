@@ -1333,6 +1333,47 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------- full curation composition v2 (round 4)
 
+def _gate_dedup_cap_duck(with_text: bool) -> str:
+    """Shared DuckDB CTE chain for the v2/v3 pipelines' first three
+    stages: quality gate -> normalized exact dedup -> per-domain cap.
+    v3 carries text through so DSIR can train on the survivors."""
+    from mapreducecore_spark.queries.curation import _DOMAIN_CAP
+
+    text_col = ", text" if with_text else ""
+    return f"""q AS (
+      SELECT doc_id, source, text,
+             ROUND(LEAST(CAST(len({_TOKS_DUCK}) AS DOUBLE) / 50.0, 1.0)
+                   * (1.0 - 0.5 * CAST(len(list_filter({_TOKS_DUCK},
+                        x -> list_contains([{_SW}], x))) AS DOUBLE)
+                     / GREATEST(len({_TOKS_DUCK}), 1)), 6) AS quality
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM q WHERE quality >= 0.3
+    ), keepers AS (
+      SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS h,
+             MIN(doc_id) AS doc_id
+      FROM filtered GROUP BY 1
+    ), kept AS (
+      SELECT f.doc_id, f.source, f.quality{text_col.replace('text', 'f.text')}
+      FROM filtered f
+      JOIN keepers k ON k.doc_id = f.doc_id
+    ), capped AS (
+      SELECT doc_id, source, quality{text_col}, rank FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rank
+        FROM kept)
+      WHERE rank <= {_DOMAIN_CAP}
+    )"""
+
+
+_SPLIT_DUCK = """
+      SELECT *,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM capped"""
+
+
 def _curation_v2_oracle() -> str:
     from mapreducecore_spark.queries.curation import _DOMAIN_CAP, _DSIR_ORACLE
 
@@ -1432,6 +1473,99 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(4294967296.0)
     return (
         capped.join(dsir.filter("selected").select("doc_id", "log_weight"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "rank",
+            "log_weight",
+            F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias(
+                "split"
+            ),
+        )
+    )
+
+
+def _gate_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of _gate_dedup_cap_duck: quality gate -> normalized
+    exact dedup -> per-domain cap, with text carried through (v3
+    trains DSIR on these survivors). Same stage logic as v2 inlines —
+    the rank <= cap filter still rides WindowGroupLimit's partial
+    top-k below the exchange."""
+    from pyspark.sql import Window
+
+    from mapreducecore_spark.queries.curation import _DOMAIN_CAP
+
+    t = load_tables(spark, sf_dir)
+    sw_arr = "array(" + _SW + ")"
+    q = spread(t["documents"]).selectExpr(
+        "doc_id",
+        "source",
+        "text",
+        f"""ROUND(LEAST(CAST(size({_TOKS}) AS DOUBLE) / 50.0, 1.0)
+             * (1.0 - 0.5 * CAST(size(filter({_TOKS},
+                  x -> array_contains({sw_arr}, x))) AS DOUBLE)
+               / GREATEST(size({_TOKS}), 1)), 6) AS quality""",
+    )
+    filtered = materialize(
+        q.filter("quality >= 0.3").withColumn(
+            "h", F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " ")))
+        )
+    )
+    keepers = filtered.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = filtered.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    w_cap = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        kept.select("doc_id", "source", "quality", "text")
+        .withColumn("rank", F.row_number().over(w_cap))
+        .filter(F.col("rank") <= _DOMAIN_CAP)
+    )
+
+
+def _curation_v3_oracle() -> str:
+    from mapreducecore_spark.queries.curation import _dsir_oracle_sql
+
+    return f"""
+    WITH {_gate_dedup_cap_duck(with_text=True)},
+    dsir AS (
+      SELECT * FROM ({_dsir_oracle_sql("capped")})
+    )
+    SELECT c.doc_id, c.source, c.quality, c.rank, d.log_weight,
+           CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ({_SPLIT_DUCK}) c
+    JOIN dsir d ON d.doc_id = c.doc_id
+    WHERE d.selected
+"""
+
+
+@register("corpus_curation_pipeline_v3", oracle=_curation_v3_oracle())
+def corpus_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composition v3 — v2 with DSIR trained on the SURVIVOR
+    set (VERDICT r4 #5): gate -> normalized dedup -> per-domain cap
+    first, THEN raw/target hashed-unigram models are fit on the
+    gated+deduped+capped survivors and every survivor is scored
+    against them — the order Xie et al. (2023) actually run, where
+    importance resampling sees a corpus already scrubbed of junk and
+    near-copies instead of letting boilerplate mass distort the raw
+    model. This is the pipeline's RECOMMENDED default: v2 (full-corpus
+    models) remains as the one-pass variant for when the gate stages
+    and DSIR must share a single corpus scan.
+
+    Scale shape: identical to v2 — two corpus-wide shuffles plus the
+    capped window's partial top-k — except the DSIR passes now run
+    over the survivor subset (strictly less data), and the two model
+    tables stay bounded at 1024 rows and broadcast."""
+    from mapreducecore_spark.queries.curation import _dsir_scores
+
+    capped = materialize(_gate_dedup_cap(spark, sf_dir))
+    dsir = _dsir_scores(capped.select("doc_id", "source", "text"))
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    return (
+        capped.select("doc_id", "source", "quality", "rank")
+        .join(dsir.filter("selected").select("doc_id", "log_weight"), "doc_id")
         .select(
             "doc_id",
             "source",
