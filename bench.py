@@ -69,6 +69,8 @@ def main() -> None:
 
     from mapreducecore_spark import metrics
 
+    from mapreducecore_spark.streaming.tws import HAS_TWS_PROTOCOL as _tws_native
+
     _concurrent_jvms = _count_other_jvms()
     if _concurrent_jvms > 0:
         print(
@@ -218,7 +220,21 @@ def main() -> None:
         "headline_runs": headline_runs,
         "headline_spread_sec": spread,
         "concurrent_jvms_at_start": _concurrent_jvms,
+        # Counted again AFTER the sweep, minus this bench's own JVM: a
+        # record where either count is nonzero timed beside another JVM
+        # workload and its spread is suspect (VERDICT r4 #8) — the
+        # flag makes a noisy record identifiable instead of silently
+        # authoritative.
+        "concurrent_jvms_at_end": max(_count_other_jvms() - 1, 0),
+        # Which TWS runtime executed the stream_live_tws_* entries —
+        # native transformWithStateInPandas needs the protobuf state
+        # protocol; recording the selected path makes a silent fallback
+        # regression visible in the round record (VERDICT r4 #7).
+        "tws_runtime": "native" if _tws_native else "fallback",
     }
+    full["solo_run"] = (
+        full["concurrent_jvms_at_start"] == 0 and full["concurrent_jvms_at_end"] == 0
+    )
     # Full per-query map goes to a file; stdout gets a COMPACT line only
     # (headline breakdown, ~0.5 KB) so the driver's bounded tail capture
     # always parses it (round-1 record was lost to a 6 KB line).

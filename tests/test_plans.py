@@ -482,3 +482,72 @@ def test_percentile_skew_safe_rank(spark, sf_dir):
     plan = plan_of(REGISTRY["quality_percentile_by_source"].fn(spark, sf_dir))
     for line in (l for l in plan.splitlines() if "row_number" in l):
         assert "pid" in line, f"source-only rank window:\n{line}"
+
+
+def test_incremental_persisted_semi_join_scopes_index(spark, sf_dir):
+    """dedup_incremental_persisted: the persisted index must be
+    RESTRICTED to touched buckets via a LeftSemi join before any
+    window/pair work (the untouched majority of a 100 TB index never
+    widens), and the pair joins stay equi-joins."""
+    from mapreducecore_spark.queries.llm import (
+        _TOKS,
+        _band_signatures,
+        _incremental_vs_index,
+    )
+    from mapreducecore_spark.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    from mapreducecore_spark.queries.llm import _touched_bucket_rows
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    idx = _band_signatures(
+        docs.filter(F.col("doc_id") % 10 != 0).selectExpr("doc_id", f"{_TOKS} AS toks")
+    )
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0).selectExpr(
+        "doc_id", f"{_TOKS} AS toks"
+    )
+    # The semi-join stage sits below a localCheckpoint in the full
+    # operator (which truncates the outer plan to Scan ExistingRDD),
+    # so gate the stage frame directly — the operator is wired to it
+    # by construction (llm._incremental_vs_index).
+    plan = plan_of(_touched_bucket_rows(idx, _band_signatures(new_docs)), "simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    full = plan_of(_incremental_vs_index(idx, new_docs), "simple")
+    assert "CartesianProduct" not in full
+
+
+def test_scorers_never_join_on_pairs(spark, sf_dir):
+    """The exact-Jaccard scorers must never join anything BY PAIR —
+    pairs x arrays was the 8-10 GB / 16g-heap shape VERDICT r4 #3
+    killed. The in-bucket design's only joins are narrow band-metadata
+    joins (doc_id / band keys); pair rows are born scored, after the
+    minimal-band emission test, so no distinct aggregate over pair
+    keys exists either."""
+    for name in ("dedup_lsh_verified_pairs", "minhash_estimate_accuracy"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        for line in plan.splitlines():
+            if "Join" in line:
+                assert "doc_a" not in line and "doc_b" not in line, (
+                    f"{name} joins by pair:\n{line}"
+                )
+            if "HashAggregate" in line:
+                assert "doc_a" not in line, (
+                    f"{name} aggregates over pair keys (global distinct "
+                    f"resurrected):\n{line}"
+                )
+
+
+def test_curation_v3_shares_v2_plan_shape(spark, sf_dir):
+    """corpus_curation_pipeline_v3: no cartesian products beyond the
+    1-row total broadcasts, partial aggregation on the model counts,
+    and the cap's rank filter still rides a window group limit (the
+    cap stage sits below v3's checkpoint boundary, so its gate reads
+    the stage frame directly)."""
+    from mapreducecore_spark.queries.pipeline import _gate_dedup_cap
+
+    plan = plan_of(REGISTRY["corpus_curation_pipeline_v3"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "WindowGroupLimit" in plan_of(_gate_dedup_cap(spark, sf_dir), "simple")
