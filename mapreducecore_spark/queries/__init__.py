@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_persisted",
     "corpus_curation_pipeline_v3",
     "stream_live_incremental_dedup_wm",
+    "corpus_ingest_incremental",
     # First-time: events tail.
     "events_sessionize_batch",
     "events_debounce",

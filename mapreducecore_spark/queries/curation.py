@@ -683,6 +683,115 @@ def _dsir_oracle_sql(table: str = "documents") -> str:
 _DSIR_ORACLE = _dsir_oracle_sql()
 
 
+def _dsir_oracle_xt(train_table: str, score_table: str) -> str:
+    """Cross-trained DSIR oracle: raw/target unigram models fit on
+    `train_table`, every `score_table` row scored — the production
+    ingest shape where models are trained once on the existing corpus
+    and each arriving batch is scored against them. Unlike the
+    same-table form, a scored token can hash to a bucket the training
+    corpus never produced, so the log-ratio table is built over the
+    full 0..N-1 bucket spine with COALESCE(0) counts (add-one
+    smoothing keeps every bucket finite)."""
+    return f"""
+    WITH t_toks AS (
+      SELECT doc_id, source, unnest({_TOKS_DUCK}) AS token FROM {train_table}
+    ), t_feats AS (
+      SELECT source,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {_CLS_BUCKETS} AS bucket
+      FROM t_toks
+    ), raw AS (
+      SELECT bucket, COUNT(*) AS cr FROM t_feats GROUP BY bucket
+    ), tgt AS (
+      SELECT bucket, COUNT(*) AS ct FROM t_feats
+      WHERE source = '{_DSIR_TARGET}' GROUP BY bucket
+    ), nt AS (SELECT COUNT(*) AS n FROM t_feats WHERE source = '{_DSIR_TARGET}'),
+    nr AS (SELECT COUNT(*) AS n FROM t_feats),
+    spine AS (SELECT unnest(generate_series(0, {_CLS_BUCKETS - 1})) AS bucket),
+    lr AS (
+      SELECT s.bucket,
+             ROUND(ln(COALESCE(t.ct, 0) + 1) - ln(nt.n + {_CLS_BUCKETS})
+                   - ln(COALESCE(r.cr, 0) + 1) + ln(nr.n + {_CLS_BUCKETS}), 6) AS lnr
+      FROM spine s
+      LEFT JOIN raw r USING (bucket) LEFT JOIN tgt t USING (bucket)
+      CROSS JOIN nt CROSS JOIN nr
+    ), s_feats AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {_CLS_BUCKETS} AS bucket
+      FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM {score_table})
+    ), agg AS (
+      SELECT f.doc_id, COUNT(*) AS n_toks,
+             ROUND(CAST(SUM(CAST(lr.lnr AS DECIMAL(28,9))) AS DOUBLE), 6) AS log_weight
+      FROM s_feats f JOIN lr USING (bucket) GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_toks, 0) AS BIGINT) AS n_toks,
+           COALESCE(a.log_weight, 0.0) AS log_weight,
+           COALESCE(a.log_weight, 0.0) >= 0 AS selected
+    FROM {score_table} d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _dsir_scores_xt(train_docs: DataFrame, score_docs: DataFrame) -> DataFrame:
+    """Spark side of _dsir_oracle_xt: fit the bucket models on
+    train_docs (doc_id, source, text), score score_docs. Both model
+    tables are bounded at _CLS_BUCKETS rows (full spine) and
+    broadcast; the only corpus-wide shuffle is the per-doc DECIMAL
+    sum. Same rounding discipline as dsir_importance_weights."""
+    t_feats = materialize(
+        train_docs.selectExpr("source", f"explode({_TOKS}) AS token").selectExpr(
+            "source",
+            f"CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) % {_CLS_BUCKETS} AS bucket",
+        )
+    )
+    spark = train_docs.sparkSession
+    raw = t_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (
+        t_feats.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    nt = t_feats.filter(F.col("source") == _DSIR_TARGET).agg(
+        F.count("*").alias("n_t")
+    )
+    nr = t_feats.agg(F.count("*").alias("n_r"))
+    spine = spark.range(_CLS_BUCKETS).select(F.col("id").alias("bucket"))
+    lr = (
+        spine.join(raw, "bucket", "left")
+        .join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .selectExpr(
+            "bucket",
+            f"CAST(ROUND(ln(COALESCE(ct, 0) + 1) - ln(n_t + {_CLS_BUCKETS})"
+            f" - ln(COALESCE(cr, 0) + 1) + ln(n_r + {_CLS_BUCKETS}), 6) AS DECIMAL(28,9)) AS lnr",
+        )
+    )
+    s_feats = score_docs.selectExpr(
+        "doc_id", f"explode({_TOKS}) AS token"
+    ).selectExpr(
+        "doc_id",
+        f"CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) % {_CLS_BUCKETS} AS bucket",
+    )
+    agg = (
+        s_feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.sum("lnr").cast("double"), 6).alias("log_weight"),
+        )
+    )
+    return (
+        score_docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(COALESCE(n_toks, 0) AS BIGINT) AS n_toks",
+            "COALESCE(log_weight, 0.0D) AS log_weight",
+            "COALESCE(log_weight, 0.0D) >= 0 AS selected",
+        )
+    )
+
+
 @register("dsir_importance_weights", oracle=_DSIR_ORACLE)
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al. 2023): per-document log importance weight

@@ -1577,3 +1577,142 @@ def corpus_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------- incremental ingest composition (round 5)
+
+_NORM_HASH_DUCK = "md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')))"
+
+
+def _ingest_incr_oracle() -> str:
+    from mapreducecore_spark.queries.curation import _dsir_oracle_xt
+    from mapreducecore_spark.queries.llm import (
+        _MINHASH_BANDED_DUCK,
+        _MINHASH_MAX_BUCKET,
+    )
+
+    return f"""
+    WITH {_MINHASH_BANDED_DUCK},
+    incr AS (
+      SELECT DISTINCT new_id, match_id FROM (
+        SELECT n.doc_id AS new_id, b.doc_id AS match_id
+        FROM banded n JOIN banded b
+          ON n.band_id = b.band_id AND n.sig = b.sig AND n.doc_id <> b.doc_id
+        WHERE n.doc_id % 10 = 0 AND n.bw <= {_MINHASH_MAX_BUCKET}
+        UNION ALL
+        SELECT doc_id AS new_id, rep AS match_id FROM banded
+        WHERE doc_id % 10 = 0 AND bw > {_MINHASH_MAX_BUCKET} AND doc_id <> rep
+      )
+    ),
+    near AS (
+      SELECT DISTINCT new_id AS doc_id FROM incr
+      WHERE match_id % 10 <> 0 OR match_id < new_id
+    ),
+    nd AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    od AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    newq AS (
+      SELECT doc_id,
+             ROUND(LEAST(CAST(len({_TOKS_DUCK}) AS DOUBLE) / 50.0, 1.0)
+                   * (1.0 - 0.5 * CAST(len(list_filter({_TOKS_DUCK},
+                        x -> list_contains([{_SW}], x))) AS DOUBLE)
+                     / GREATEST(len({_TOKS_DUCK}), 1)), 6) AS quality,
+             {_NORM_HASH_DUCK} AS h
+      FROM nd
+    ),
+    oldh AS (SELECT DISTINCT {_NORM_HASH_DUCK} AS h FROM od),
+    minh AS (SELECT h, MIN(doc_id) AS keeper FROM newq GROUP BY h),
+    dsir AS (SELECT * FROM ({_dsir_oracle_xt("od", "nd")}))
+    SELECT n.doc_id,
+           n.quality >= 0.3 AS gate_pass,
+           (oh.h IS NOT NULL OR n.doc_id > m.keeper) AS exact_dup,
+           (nr.doc_id IS NOT NULL) AS near_dup,
+           d.selected AS selected,
+           d.log_weight,
+           (n.quality >= 0.3
+            AND NOT (oh.h IS NOT NULL OR n.doc_id > m.keeper)
+            AND nr.doc_id IS NULL AND d.selected) AS accepted
+    FROM newq n
+    LEFT JOIN oldh oh ON oh.h = n.h
+    JOIN minh m ON m.h = n.h
+    LEFT JOIN near nr ON nr.doc_id = n.doc_id
+    JOIN dsir d ON d.doc_id = n.doc_id
+"""
+
+
+@register("corpus_ingest_incremental", oracle=_ingest_incr_oracle())
+def corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PER-BATCH INGEST job — the incremental counterpart of
+    corpus_curation_pipeline_v3, composing the round-4/5 incremental
+    machinery into the job a 100 TB pipeline runs on every arriving
+    crawl batch (new batch = doc_id % 10 == 0, existing corpus = the
+    rest): stateless quality gate -> exact dedup against the existing
+    corpus's normalized-hash set AND within-batch (min-doc_id keeper)
+    -> near-dedup against the LSH band index (dedup_incremental_
+    minhash's pair set; a new doc is a near-dup if it matches any
+    existing doc or a smaller-id batch doc) -> DSIR scoring under
+    models PRE-TRAINED on the existing corpus (_dsir_scores_xt:
+    production trains once, scores every batch; full-spine log-ratio
+    table handles tokens the training corpus never saw). Output is the
+    AUDIT form: one row per new doc with each stage's flag computed
+    independently plus the conjunction `accepted` — production
+    short-circuits (each stage filters before the next pays), audit
+    keeps the full disposition for acceptance-rate monitoring.
+
+    Scale shape: every stage is the measured-incremental shape — gate
+    is row-local; the old-hash anti-set is a 16-byte-key semi/left
+    join; near-dup pairs are batch-scoped (BASELINE.md round-5
+    batch-size sweep: per-run cost tracks batch size, not corpus
+    size); DSIR model tables are 1024-row broadcasts."""
+    from mapreducecore_spark.queries.curation import _dsir_scores_xt
+    from mapreducecore_spark.queries.llm import dedup_incremental_minhash
+
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"])
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    sw_arr = "array(" + _SW + ")"
+    norm_h = F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " ")))
+    newq = materialize(
+        new.selectExpr(
+            "doc_id",
+            "text",
+            f"""ROUND(LEAST(CAST(size({_TOKS}) AS DOUBLE) / 50.0, 1.0)
+                 * (1.0 - 0.5 * CAST(size(filter({_TOKS},
+                      x -> array_contains({sw_arr}, x))) AS DOUBLE)
+                   / GREATEST(size({_TOKS}), 1)), 6) AS quality""",
+        ).withColumn("h", norm_h).drop("text")
+    )
+    oldh = old.select(norm_h.alias("h")).distinct().withColumn(
+        "in_old", F.lit(True)
+    )
+    minh = newq.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    near = (
+        dedup_incremental_minhash(spark, sf_dir)
+        .filter((F.col("match_id") % 10 != 0) | (F.col("match_id") < F.col("new_id")))
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    dsir = _dsir_scores_xt(
+        old.select("doc_id", "source", "text"), new.select("doc_id", "source", "text")
+    )
+    flags = (
+        newq.join(oldh, "h", "left")
+        .join(minh, "h")
+        .join(near, "doc_id", "left")
+        .join(dsir.select("doc_id", "selected", "log_weight"), "doc_id")
+    )
+    gate = F.col("quality") >= 0.3
+    exact = F.coalesce(F.col("in_old"), F.lit(False)) | (
+        F.col("doc_id") > F.col("keeper")
+    )
+    nearf = F.coalesce(F.col("is_near"), F.lit(False))
+    return flags.select(
+        "doc_id",
+        gate.alias("gate_pass"),
+        exact.alias("exact_dup"),
+        nearf.alias("near_dup"),
+        F.col("selected").alias("selected"),
+        "log_weight",
+        (gate & ~exact & ~nearf & F.col("selected")).alias("accepted"),
+    )

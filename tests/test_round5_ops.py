@@ -171,3 +171,31 @@ def test_stream_incremental_wm_bounded_state(spark, sf_dir, tmp_path):
     assert _rows(drained, ["new_id", "match_id"]) == _rows(
         unbounded, ["new_id", "match_id"]
     )
+
+
+def test_ingest_incremental_flags_consistent(spark, sf_dir):
+    """corpus_ingest_incremental audit flags must agree with the
+    operators they compose: one row per new doc; near_dup exactly
+    matches dedup_incremental_minhash's eligible pair set; accepted is
+    the stage conjunction."""
+    out = {r.doc_id: r for r in REGISTRY["corpus_ingest_incremental"].fn(spark, sf_dir).collect()}
+    from mapreducecore_spark.catalog import load_tables
+
+    new_ids = {
+        r.doc_id
+        for r in load_tables(spark, sf_dir)["documents"]
+        .filter("doc_id % 10 = 0")
+        .select("doc_id")
+        .collect()
+    }
+    assert set(out) == new_ids
+    pairs = REGISTRY["dedup_incremental_minhash"].fn(spark, sf_dir).collect()
+    near_expect = {
+        p.new_id for p in pairs if p.match_id % 10 != 0 or p.match_id < p.new_id
+    }
+    near_got = {d for d, r in out.items() if r.near_dup}
+    assert near_got == near_expect
+    for r in out.values():
+        assert r.accepted == (
+            r.gate_pass and not r.exact_dup and not r.near_dup and r.selected
+        )
