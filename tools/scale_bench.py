@@ -54,6 +54,12 @@ HEAVY = [
     # newline line dedup, linearized entropy.
     "domain_cap_kept",
     "dedup_lines_newline",
+    # Round-5 additions: persisted band index, incremental-vs-index,
+    # survivor-trained DSIR pipeline, per-batch ingest composition.
+    "dedup_band_index_build",
+    "dedup_incremental_persisted",
+    "corpus_curation_pipeline_v3",
+    "corpus_ingest_incremental",
     "dedup_lines_ccnet",
     "quality_token_entropy",
 ]
