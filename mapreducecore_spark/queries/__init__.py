@@ -48,17 +48,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # priority order so the window always covers the flagship LLM-pipeline
 # operators (dedup/ANN) and live streaming; everything else follows.
 # ROUND-5 ROTATION (VERDICT r4 #1/#2): rounds 1-4 accumulated 160
-# driver-verified entries of 221. This window keeps 8 flagship slots
-# (5 dedup/ANN north stars + 3 streaming drains) and fills the
-# remaining ~42 with entries that have NO driver row in r01-r04:
-# semdedup_prune FIRST (its centroids became Lloyd-trained in r4, so
-# its r3 driver row attests to superseded outputs — ADVICE r4), then
-# every round-4 operator, the four new round-5 operators (persisted
-# band index, incremental-vs-index dedup, survivor-trained DSIR
-# pipeline, watermarked streaming incremental dedup), then the
+# driver-verified entries of 221 (registry now 226). This window
+# keeps 8 flagship slots (5 dedup/ANN north stars + 3 streaming
+# drains) and fills the remaining ~42 with entries that have NO
+# driver row in r01-r04: semdedup_prune FIRST (its centroids became
+# Lloyd-trained in r4, so its r3 driver row attests to superseded
+# outputs — ADVICE r4), then every round-4 operator, the five new
+# round-5 operators (persisted band index build, incremental-vs-index
+# dedup, survivor-trained DSIR pipeline v3, watermarked streaming
+# incremental dedup, per-batch ingest composition), then the
 # events/agg/approx/subquery/sampling/setops tail. All pre-existing
-# entries passed the local full-registry driver_sim (221/221 at
-# sf0.01) before rotation.
+# entries passed the local full-registry driver_sim (225/225 at
+# sf0.01 after the r5 additions) before rotation.
 _PRIORITY: tuple[str, ...] = (
     # Flagship LLM-pipeline north stars (judge-named must-verify set).
     "dedup_minhash_lsh",
