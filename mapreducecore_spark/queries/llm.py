@@ -171,23 +171,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_band_pairs(docs: DataFrame) -> DataFrame:
-    """The shingle -> minhash -> band -> guarded-bucket-join pipeline
-    over an arbitrary (doc_id, toks) frame — shared by the flagship
-    full-corpus pair generator above and the exact-dup-collapsed edge
-    builder the components family uses."""
-    banded = _minhash_banded(docs)
-    small = banded.filter(F.col("bw") <= _MINHASH_MAX_BUCKET)
-    a = small.select(F.col("doc_id").alias("doc_a"), "band_id", "sig")
-    b = small.select(F.col("doc_id").alias("doc_b"), "band_id", "sig")
-    clique = (
-        a.join(b, ["band_id", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+    """The shingle -> minhash -> bucket-collect -> minimal-band-emit
+    pipeline over an arbitrary (doc_id, toks) frame — shared by the
+    flagship full-corpus pair generator above and the exact-dup-
+    collapsed edge builder the components family uses. Emits exactly
+    one (doc_a, doc_b) row per guarded candidate pair (round 5: the
+    previous band self-join + global DISTINCT shape re-shuffled the
+    banded frame twice and exchanged every duplicated pair row; the
+    minimal-band emission of _emit_bucket_pairs produces the identical
+    pair set with no pair-keyed exchange at all — the same redesign
+    measured 8.0 -> 1.2 GB on the scorers)."""
+    return _emit_bucket_pairs(
+        _minhash_buckets(docs, with_sets=False),
+        "struct(a.doc_id AS doc_a, m.doc_id AS doc_b)",
     )
-    star = banded.filter(
-        (F.col("bw") > _MINHASH_MAX_BUCKET) & (F.col("doc_id") != F.col("rep"))
-    ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    return clique.unionByName(star).distinct()
 
 
 def _band_signatures(docs: DataFrame) -> DataFrame:
@@ -762,32 +759,53 @@ def _scored_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3000-doc exact-dup cluster) collects ~1.2 MB and emits its
     pairs as one star array."""
     t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
+    score = (
+        "struct(a.doc_id AS doc_a, m.doc_id AS doc_b, "
+        "size(array_intersect(a.hs, m.hs)) AS n_common, "
+        "a.n_sh AS na, m.n_sh AS nb, "
+        "aggregate(zip_with(a.mhs, m.mhs, (x, y) -> IF(x = y, 1, 0)), 0, "
+        f"(acc, v) -> acc + v) / CAST({_MINHASH_SEEDS} AS DOUBLE) AS est_jaccard_raw)"
+    )
+    return _emit_bucket_pairs(_minhash_buckets(docs, with_sets=True), score)
+
+
+def _minhash_buckets(docs: DataFrame, with_sets: bool) -> DataFrame:
+    """(band_id, sig, ms): every LSH bucket collected into ONE sorted
+    array of member structs, each struct carrying the doc's signature
+    vector plus its four per-band bucket widths and representatives
+    (and, with_sets, its hashed shingle set + size for the exact
+    scorers). sort_array puts min doc_id — the bucket representative —
+    first. The only array-bearing exchange is the final bucket
+    groupBy; the width/rep pre-pass rows are (ids + sig string)."""
     sh = (
-        spread(t["documents"])
-        .selectExpr("doc_id", f"{_TOKS} AS toks")
-        .filter(F.expr("size(toks) >= 3"))
+        docs.filter(F.expr("size(toks) >= 3"))
         .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
         .selectExpr(
             "doc_id",
-            "shingle",
             "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h",
         )
     )
-    # One corpus aggregation: hashed shingle set + signature vector.
+    # One corpus aggregation: signature vector (+ hashed shingle set).
     # Materialized because the band-metadata pre-pass and the final
-    # bucket build both consume it (Spark plans are trees).
-    per_doc = materialize(
-        sh.groupBy("doc_id")
-        .agg(
-            F.collect_set("h").alias("hs"),
-            F.array(
-                *[F.min(F.expr(_mh_formula("h", s))) for s in range(_MINHASH_SEEDS)]
-            ).alias("mhs"),
+    # bucket build both consume it (Spark plans are trees). n_sh =
+    # |distinct hashes| (oracle mirrors): deriving it from hs spares
+    # the Expand shuffle COUNT(DISTINCT shingle) costs.
+    mhs_agg = F.array(
+        *[F.min(F.expr(_mh_formula("h", s))) for s in range(_MINHASH_SEEDS)]
+    ).alias("mhs")
+    if with_sets:
+        per_doc = materialize(
+            sh.groupBy("doc_id")
+            .agg(F.collect_set("h").alias("hs"), mhs_agg)
+            .select(
+                "doc_id", "hs", F.size("hs").cast("bigint").alias("n_sh"), "mhs"
+            )
         )
-        # n_sh = |distinct hashes| (oracle mirrors): deriving it from
-        # hs spares the Expand shuffle COUNT(DISTINCT shingle) costs.
-        .select("doc_id", "hs", F.size("hs").cast("bigint").alias("n_sh"), "mhs")
-    )
+        member = F.struct("doc_id", "hs", "n_sh", "mhs", "bws", "reps")
+    else:
+        per_doc = materialize(sh.groupBy("doc_id").agg(mhs_agg))
+        member = F.struct("doc_id", "mhs", "bws", "reps")
     n_bands = _MINHASH_SEEDS // 2
     band_structs = F.array(
         *[
@@ -801,8 +819,7 @@ def _scored_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # Narrow pre-pass: per-band bucket width + representative, folded
-    # back into one (bws, reps) array pair per doc. Every row here is
-    # (ids + sig string) — no arrays ride these exchanges.
+    # back into one (bws, reps) array pair per doc.
     band_rows = per_doc.select(
         "doc_id", F.explode(band_structs).alias("b")
     ).select("doc_id", "b.band_id", "b.sig")
@@ -819,44 +836,44 @@ def _scored_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(array_sort(wr), x -> x.rep)").alias("reps"),
         )
     )
-    # The single array-bearing exchange: each doc ships its struct
-    # once per band; sort_array puts min doc_id (the representative)
-    # first in every bucket.
-    buckets = (
+    return (
         per_doc.join(band_meta, "doc_id")
-        .select(
-            F.explode(band_structs).alias("b"),
-            F.struct("doc_id", "hs", "n_sh", "mhs", "bws", "reps").alias("m"),
-        )
+        .select(F.explode(band_structs).alias("b"), member.alias("m"))
         .select("b.band_id", "b.sig", "m")
         .groupBy("band_id", "sig")
         .agg(F.sort_array(F.collect_list("m")).alias("ms"))
     )
-    # EMIT(a, m): true iff NO earlier band b' already generated this
-    # pair — signatures match at b' and (bucket small there, or its
-    # rep is the pair's smaller doc = a.doc_id, ms being sorted).
-    # band_id = 0 short-circuits because sequence(0, -1) would count
-    # DOWN in Spark SQL.
+
+
+def _emit_bucket_pairs(buckets: DataFrame, pair_struct_sql: str) -> DataFrame:
+    """Generate every guarded candidate pair exactly once from the
+    bucket frame, projecting each through `pair_struct_sql` (a SQL
+    struct over member structs `a` and `m`, a.doc_id < m.doc_id).
+
+    EMIT(a, m): a pair is produced only from its MINIMAL GENERATING
+    BAND — skip if any earlier band b' already generated it, i.e. the
+    signatures match at b' AND (that bucket is small, or its
+    representative is the pair's smaller doc = a.doc_id, ms being
+    sorted). This makes the global pair DISTINCT unnecessary: no
+    pair-keyed exchange ever exists. band_id = 0 short-circuits
+    because sequence(0, -1) would count DOWN in Spark SQL. Pairs are
+    filtered and projected INSIDE one higher-order expression per
+    bucket row, so non-surviving pairs never materialize a row and
+    no member struct outlives its bucket row."""
     emit = (
         "(band_id = 0 OR NOT exists(sequence(0, band_id - 1), bp -> "
         "a.mhs[2 * bp] = m.mhs[2 * bp] AND a.mhs[2 * bp + 1] = m.mhs[2 * bp + 1] "
         f"AND (a.bws[bp] <= {_MINHASH_MAX_BUCKET} OR a.reps[bp] = a.doc_id)))"
     )
-    score = (
-        "struct(a.doc_id AS doc_a, m.doc_id AS doc_b, "
-        "size(array_intersect(a.hs, m.hs)) AS n_common, "
-        "a.n_sh AS na, m.n_sh AS nb, "
-        "aggregate(zip_with(a.mhs, m.mhs, (x, y) -> IF(x = y, 1, 0)), 0, "
-        f"(acc, v) -> acc + v) / CAST({_MINHASH_SEEDS} AS DOUBLE) AS est_jaccard_raw)"
-    )
     clique_pairs = (
         f"flatten(transform(ms, (a, i) -> "
         f"transform(filter(slice(ms, i + 2, size(ms)), m -> {emit}), "
-        f"m -> {score})))"
+        f"m -> {pair_struct_sql})))"
     )
     star_pairs = (
         f"transform(filter(slice(ms, 2, size(ms)), "
-        f"m -> {emit.replace('a.', 'ms[0].')}), m -> {score.replace('a.', 'ms[0].')})"
+        f"m -> {emit.replace('a.', 'ms[0].')}), "
+        f"m -> {pair_struct_sql.replace('a.', 'ms[0].')})"
     )
     clique = buckets.filter(
         (F.size("ms") >= 2) & (F.size("ms") <= _MINHASH_MAX_BUCKET)

@@ -263,17 +263,21 @@ def test_ivf_trained_broadcasts_codebook_every_iteration(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_minhash_band_join_is_equijoin_on_band_key(spark, sf_dir):
-    """The guarded band self-join must stay an EQUI-join keyed on
-    (band_id, sig) — never a cartesian fallback. (The bucket-stat
-    window pass runs before the localCheckpoint that feeds both join
-    branches, so it is not visible in this plan; its output columns
-    bw/rep are.) At test SF the tiny checkpointed side may broadcast;
-    at scale the same equi-join shuffles on the band key."""
+def test_minhash_pairs_bucket_collect_no_pair_exchange(spark, sf_dir):
+    """dedup_minhash_lsh (round 5): pairs come from the bucket-collect
+    + minimal-band-emission pipeline — buckets aggregate on
+    (band_id, sig), pair structs are born inside a higher-order
+    expression, and NO operator is keyed by the pair: no join on
+    doc_a/doc_b, no distinct aggregate over pair columns, no
+    cartesian. The only joins are the narrow band-metadata joins."""
     plan = plan_of(REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "Join" in plan
     assert "band_id" in plan and "sig" in plan
+    for line in plan.splitlines():
+        if "Join" in line or "HashAggregate" in line:
+            assert "doc_a" not in line and "doc_b" not in line, (
+                f"pair-keyed operator resurrected:\n{line}"
+            )
 
 
 def test_jaccard_df_cap_window_precedes_join(spark, sf_dir):
