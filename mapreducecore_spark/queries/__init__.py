@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline_v3",
     "stream_live_incremental_dedup_wm",
     "corpus_ingest_incremental",
+    "ann_pq_topk",
     # First-time: events tail.
     "events_sessionize_batch",
     "events_debounce",

@@ -1388,6 +1388,163 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Product quantization: m subspaces x K codes. Codebook = subvectors
+# of the K lowest vec_ids (the deterministic seeded pick the kmeans /
+# IVF ops use); asymmetric-distance (ADC) queries never touch raw
+# index vectors — only 1-byte codes.
+_PQ_M = 4  # subspaces over the 64-dim embeddings
+_PQ_SUB = 16  # dims per subspace
+_PQ_K = 16  # codes per subspace
+_PQ_TOPK = 5
+_IP_SPARK_ = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE),"
+    " (acc, v) -> acc + v)"
+)
+_IP_DUCK_ = "list_inner_product({a}, {b})"
+_PQ_D2 = "ROUND({aa} - 2 * {ab} + {bb}, 5)"
+
+
+def _pq_oracle() -> str:
+    sub_d = lambda emb, s: f"list_slice({emb}, {s * _PQ_SUB + 1}, {(s + 1) * _PQ_SUB})"
+    subs = ", ".join(
+        f"{sub_d('emb', s)} AS sub{s}" for s in range(_PQ_M)
+    )
+    sub_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, sub{s} AS sub FROM sliced" for s in range(_PQ_M)
+    )
+    d2 = _PQ_D2.format(
+        aa=_IP_DUCK_.format(a="v.sub", b="v.sub"),
+        ab=_IP_DUCK_.format(a="v.sub", b="cb.c_sub"),
+        bb="cb.c_norm2",
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    sliced AS (SELECT vec_id, {subs} FROM e),
+    subrows AS ({sub_rows}),
+    cb AS (
+      SELECT s, vec_id AS code_id, sub AS c_sub,
+             {_IP_DUCK_.format(a="sub", b="sub")} AS c_norm2
+      FROM subrows WHERE vec_id < {_PQ_K}
+    ),
+    codes AS (
+      SELECT vec_id, s, code_id FROM (
+        SELECT v.vec_id, v.s, cb.code_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                                  ORDER BY {d2}, cb.code_id) AS rn
+        FROM subrows v JOIN cb ON cb.s = v.s
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT v.vec_id AS q_id, v.s, cb.code_id,
+             CAST({d2} AS DECIMAL(18,5)) AS qd
+      FROM subrows v JOIN cb ON cb.s = v.s
+      WHERE v.vec_id < 8
+    ),
+    adc AS (
+      SELECT l.q_id, c.vec_id AS neighbor_id,
+             CAST(SUM(l.qd) AS DOUBLE) AS pq_dist2
+      FROM codes c JOIN lut l ON l.s = c.s AND l.code_id = c.code_id
+      WHERE c.vec_id <> l.q_id
+      GROUP BY l.q_id, c.vec_id
+    )
+    SELECT q_id, neighbor_id, pq_dist2 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY pq_dist2, neighbor_id) AS rn
+      FROM adc
+    ) WHERE rn <= {_PQ_TOPK}
+    """
+
+
+@register("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the
+    memory-compressed scale path the ANN family was missing: each
+    64-dim vector is encoded as 4 one-byte codes (argmin to a
+    16-centroid codebook per 16-dim subspace; codebook = subvectors of
+    the 16 lowest vec_ids, the same deterministic seeded pick
+    kmeans_assign_seeded uses), and queries rank the WHOLE index
+    through an asymmetric-distance lookup table — per query, 4 x 16
+    precomputed subspace distances — summing 4 table entries per index
+    vector instead of touching any raw vector. Returns top-5 neighbors
+    per query (vec_id < 8) by estimated L2².
+
+    Scale shape: the index side of the ADC join carries ONLY
+    (vec_id, s, code) int rows — at 100 TB that is m bytes per vector
+    against the raw 256 bytes, the whole point of PQ; the codebook
+    (64 rows) and LUT (512 rows) broadcast; the per-(query, vector)
+    sum partial-aggregates map-side; top-k rides WindowGroupLimit.
+    Determinism: each subspace distance is |v|² - 2v·c + |c|² with a
+    shared sequential-fold inner product, rounded to 5 decimals, and
+    the ADC sum is an exact DECIMAL(18,5) fold — order-independent on
+    both engines."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    e = spread(t["embeddings"]).selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    subrows = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.expr(f"slice(emb, {s * _PQ_SUB + 1}, {_PQ_SUB})").alias(
+                            "sub"
+                        ),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.s", "b.sub")
+    subrows = materialize(subrows)
+    cb = subrows.filter(F.col("vec_id") < _PQ_K).selectExpr(
+        "s",
+        "vec_id AS code_id",
+        "sub AS c_sub",
+        f"{_IP_SPARK_.format(a='sub', b='sub')} AS c_norm2",
+    )
+    d2 = _PQ_D2.format(
+        aa=_IP_SPARK_.format(a="sub", b="sub"),
+        ab=_IP_SPARK_.format(a="sub", b="c_sub"),
+        bb="c_norm2",
+    )
+    scored = subrows.join(F.broadcast(cb), "s").selectExpr(
+        "vec_id", "s", "code_id", f"{d2} AS d2"
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy("d2", "code_id")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w_code))
+        .filter("rn = 1")
+        .select("vec_id", "s", "code_id")
+    )
+    lut = (
+        subrows.filter(F.col("vec_id") < 8)
+        .join(F.broadcast(cb), "s")
+        .selectExpr(
+            "vec_id AS q_id",
+            "s",
+            "code_id",
+            f"CAST({d2} AS DECIMAL(18,5)) AS qd",
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code_id"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd").cast("double").alias("pq_dist2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("pq_dist2", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "pq_dist2")
+    )
+
+
 @register(
     "embedding_neardup_pairs",
     oracle=f"""

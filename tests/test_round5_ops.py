@@ -199,3 +199,37 @@ def test_ingest_incremental_flags_consistent(spark, sf_dir):
         assert r.accepted == (
             r.gate_pass and not r.exact_dup and not r.near_dup and r.selected
         )
+
+
+def test_ann_pq_structure_and_recall(spark, sf_dir, duck):
+    """ann_pq_topk: 5 neighbors per query, non-negative estimated
+    distances, and recall@5 vs the exact L2 top-5 well above chance —
+    the data is fixed, so the measured 0.225 at sf0.001 is
+    deterministic; the floor leaves margin only for intentional
+    parameter changes (chance level with 500 vectors is 0.01)."""
+    rows = REGISTRY["ann_pq_topk"].fn(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        assert r.pq_dist2 >= 0
+        per_q.setdefault(r.q_id, []).append(r.neighbor_id)
+    assert set(per_q) == set(range(8))
+    assert all(len(v) == 5 for v in per_q.values())
+    exact = duck.sql(
+        """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                   FROM embeddings),
+        q AS (SELECT vec_id q_id, emb q FROM e WHERE vec_id < 8),
+        d AS (SELECT q.q_id, e.vec_id n_id,
+                     list_inner_product(q.q, q.q) - 2 * list_inner_product(q.q, e.emb)
+                     + list_inner_product(e.emb, e.emb) AS d2
+              FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id)
+        SELECT q_id, n_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, n_id) rn FROM d
+        ) WHERE rn <= 5
+        """
+    ).fetchall()
+    truth = {}
+    for qid, nid in exact:
+        truth.setdefault(qid, set()).add(nid)
+    hits = sum(len(truth[q] & set(per_q[q])) for q in truth)
+    assert hits / 40 >= 0.15, f"PQ recall collapsed: {hits}/40"

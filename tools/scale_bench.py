@@ -60,6 +60,7 @@ HEAVY = [
     "dedup_incremental_persisted",
     "corpus_curation_pipeline_v3",
     "corpus_ingest_incremental",
+    "ann_pq_topk",
     "dedup_lines_ccnet",
     "quality_token_entropy",
 ]
