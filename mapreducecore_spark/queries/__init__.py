@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_live_incremental_dedup_wm",
     "corpus_ingest_incremental",
     "ann_pq_topk",
+    "ann_pq_trained",
     "ann_pq_recall",
     # First-time: events tail.
     "events_sessionize_batch",

@@ -1478,49 +1478,109 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared sequential-fold inner product, rounded to 5 decimals, and
     the ADC sum is an exact DECIMAL(18,5) fold — order-independent on
     both engines."""
-    from pyspark.sql import Window
+    subrows = _pq_subrows(spark, sf_dir)
+    return _pq_adc_topk(subrows, _pq_codebook_seeded(subrows))
 
+
+def _pq_subrows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, s, sub): every vector split into its m subvectors —
+    materialized because codebook, encoding, and query LUT all consume
+    it."""
     t = load_tables(spark, sf_dir)
     e = spread(t["embeddings"]).selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
     )
-    subrows = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.expr(f"slice(emb, {s * _PQ_SUB + 1}, {_PQ_SUB})").alias(
-                            "sub"
-                        ),
-                    )
-                    for s in range(_PQ_M)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", "b.s", "b.sub")
-    subrows = materialize(subrows)
-    cb = subrows.filter(F.col("vec_id") < _PQ_K).selectExpr(
+    return materialize(
+        e.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.expr(f"slice(emb, {s * _PQ_SUB + 1}, {_PQ_SUB})").alias(
+                                "sub"
+                            ),
+                        )
+                        for s in range(_PQ_M)
+                    ]
+                )
+            ).alias("b"),
+        ).select("vec_id", "b.s", "b.sub")
+    )
+
+
+def _pq_codebook_seeded(subrows: DataFrame) -> DataFrame:
+    """(s, code_id, c_sub, c_norm2): subvectors of the K lowest
+    vec_ids — the deterministic seeded pick."""
+    return subrows.filter(F.col("vec_id") < _PQ_K).selectExpr(
         "s",
         "vec_id AS code_id",
         "sub AS c_sub",
         f"{_IP_SPARK_.format(a='sub', b='sub')} AS c_norm2",
     )
-    d2 = _PQ_D2.format(
-        aa=_IP_SPARK_.format(a="sub", b="sub"),
-        ab=_IP_SPARK_.format(a="sub", b="c_sub"),
-        bb="c_norm2",
-    )
+
+
+_PQ_D2_EXPR = _PQ_D2.format(
+    aa=_IP_SPARK_.format(a="sub", b="sub"),
+    ab=_IP_SPARK_.format(a="sub", b="c_sub"),
+    bb="c_norm2",
+)
+
+
+def _pq_encode(subrows: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, s, code_id): nearest codebook entry per subvector
+    (min rounded L2², ties to the lowest code)."""
+    from pyspark.sql import Window
+
     scored = subrows.join(F.broadcast(cb), "s").selectExpr(
-        "vec_id", "s", "code_id", f"{d2} AS d2"
+        "vec_id", "s", "code_id", f"{_PQ_D2_EXPR} AS d2"
     )
     w_code = Window.partitionBy("vec_id", "s").orderBy("d2", "code_id")
-    codes = (
+    return (
         scored.withColumn("rn", F.row_number().over(w_code))
         .filter("rn = 1")
         .select("vec_id", "s", "code_id")
     )
+
+
+def _pq_mean_update(subrows: DataFrame, codes: DataFrame) -> DataFrame:
+    """Lloyd mean step per (subspace, code): members' elementwise mean
+    through DECIMAL(38,20) so the centroid doubles are bit-identical
+    across engines (the semdedup/ann_ivf_trained recipe); empty codes
+    drop out of the codebook naturally."""
+    members = codes.join(subrows, ["vec_id", "s"]).select(
+        "s", "code_id", F.posexplode("sub").alias("pos", "val")
+    )
+    dims = members.groupBy("s", "code_id", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,20)")).cast("double") / F.count("*")
+        ).alias("cv")
+    )
+    return materialize(
+        dims.groupBy("s", "code_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)"
+            ).alias("c_sub")
+        )
+        .selectExpr(
+            "s",
+            "code_id",
+            "c_sub",
+            f"{_IP_SPARK_.format(a='c_sub', b='c_sub')} AS c_norm2",
+        )
+    )
+
+
+def _pq_adc_topk(subrows: DataFrame, cb: DataFrame) -> DataFrame:
+    """Encode the index with `cb`, build each query's
+    asymmetric-distance lookup table, and rank by the exact-DECIMAL
+    sum of m table entries per vector."""
+    from pyspark.sql import Window
+
+    cb = materialize(cb)
+    codes = _pq_encode(subrows, cb)
     lut = (
         subrows.filter(F.col("vec_id") < 8)
         .join(F.broadcast(cb), "s")
@@ -1528,7 +1588,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id AS q_id",
             "s",
             "code_id",
-            f"CAST({d2} AS DECIMAL(18,5)) AS qd",
+            f"CAST({_PQ_D2_EXPR} AS DECIMAL(18,5)) AS qd",
         )
     )
     adc = (
@@ -1543,6 +1603,102 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PQ_TOPK)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "pq_dist2")
     )
+
+
+def _pq_trained_oracle() -> str:
+    sub_d = lambda emb, s: f"list_slice({emb}, {s * _PQ_SUB + 1}, {(s + 1) * _PQ_SUB})"
+    subs = ", ".join(f"{sub_d('emb', s)} AS sub{s}" for s in range(_PQ_M))
+    sub_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, sub{s} AS sub FROM sliced" for s in range(_PQ_M)
+    )
+
+    def d2(cb: str) -> str:
+        return _PQ_D2.format(
+            aa=_IP_DUCK_.format(a="v.sub", b="v.sub"),
+            ab=_IP_DUCK_.format(a="v.sub", b=f"{cb}.c_sub"),
+            bb=f"{cb}.c_norm2",
+        )
+
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    sliced AS MATERIALIZED (SELECT vec_id, {subs} FROM e),
+    subrows AS MATERIALIZED ({sub_rows}),
+    cb0 AS MATERIALIZED (
+      SELECT s, vec_id AS code_id, sub AS c_sub,
+             {_IP_DUCK_.format(a="sub", b="sub")} AS c_norm2
+      FROM subrows WHERE vec_id < {_PQ_K}
+    ),
+    codes0 AS MATERIALIZED (
+      SELECT vec_id, s, code_id FROM (
+        SELECT v.vec_id, v.s, cb0.code_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                                  ORDER BY {d2("cb0")}, cb0.code_id) AS rn
+        FROM subrows v JOIN cb0 ON cb0.s = v.s
+      ) WHERE rn = 1
+    ),
+    u AS MATERIALIZED (
+      SELECT s, code_id, idx, sub[idx] AS val FROM (
+        SELECT c.s, c.code_id, v.sub,
+               unnest(generate_series(1, len(v.sub))) AS idx
+        FROM codes0 c JOIN subrows v ON v.vec_id = c.vec_id AND v.s = c.s)
+    ),
+    cb1 AS MATERIALIZED (
+      SELECT s, code_id, c_sub,
+             {_IP_DUCK_.format(a="c_sub", b="c_sub")} AS c_norm2
+      FROM (
+        SELECT s, code_id, list(cv ORDER BY idx) AS c_sub FROM (
+          SELECT s, code_id, idx,
+                 CAST(SUM(CAST(val AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*) AS cv
+          FROM u GROUP BY s, code_id, idx)
+        GROUP BY s, code_id)
+    ),
+    codes1 AS MATERIALIZED (
+      SELECT vec_id, s, code_id FROM (
+        SELECT v.vec_id, v.s, cb1.code_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                                  ORDER BY {d2("cb1")}, cb1.code_id) AS rn
+        FROM subrows v JOIN cb1 ON cb1.s = v.s
+      ) WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+      SELECT v.vec_id AS q_id, v.s, cb1.code_id,
+             CAST({d2("cb1")} AS DECIMAL(18,5)) AS qd
+      FROM subrows v JOIN cb1 ON cb1.s = v.s
+      WHERE v.vec_id < 8
+    ),
+    adc AS (
+      SELECT l.q_id, c.vec_id AS neighbor_id,
+             CAST(SUM(l.qd) AS DOUBLE) AS pq_dist2
+      FROM codes1 c JOIN lut l ON l.s = c.s AND l.code_id = c.code_id
+      WHERE c.vec_id <> l.q_id
+      GROUP BY l.q_id, c.vec_id
+    )
+    SELECT q_id, neighbor_id, pq_dist2 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY pq_dist2, neighbor_id) AS rn
+      FROM adc
+    ) WHERE rn <= {_PQ_TOPK}
+    """
+
+
+@register("ann_pq_trained", oracle=_pq_trained_oracle())
+def ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with one Lloyd round per subspace (completes the trained/
+    seeded symmetry ann_ivf_seeded / ann_ivf_trained has): assign every
+    subvector to its seeded code, recompute each (subspace, code)
+    centroid as its members' elementwise DECIMAL(38,20) mean, then
+    re-encode and ADC-rank against the trained codebook. Same plan
+    shape as ann_pq_topk plus one narrow (s, code, pos) aggregation —
+    the mean update touches m x K x 16 cells regardless of corpus
+    size; empty codes drop out of the codebook naturally (their
+    index entries re-encode to surviving codes)."""
+    subrows = _pq_subrows(spark, sf_dir)
+    cb0 = materialize(_pq_codebook_seeded(subrows))
+    codes0 = _pq_encode(subrows, cb0)
+    cb1 = _pq_mean_update(subrows, codes0)
+    return _pq_adc_topk(subrows, cb1)
 
 
 def _pq_recall_oracle() -> str:
