@@ -61,6 +61,7 @@ HEAVY = [
     "corpus_curation_pipeline_v3",
     "corpus_ingest_incremental",
     "ann_pq_topk",
+    "ann_pq_trained",
     "dedup_lines_ccnet",
     "quality_token_entropy",
 ]
