@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_pq_topk",
     "ann_pq_trained",
     "ann_pq_recall",
+    "classifier_lr_train",
     # First-time: events tail.
     "events_sessionize_batch",
     "events_debounce",

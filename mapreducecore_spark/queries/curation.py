@@ -916,3 +916,134 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS pctl",
         )
     )
+
+
+# --------------------------------- classifier training (round 5)
+
+_LR_RATE = "0.1"  # learning rate, literal on both engines
+
+_LR_TRAIN_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS_DUCK}) AS token FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {_CLS_BUCKETS} AS bucket,
+             COUNT(*) AS x
+      FROM toks GROUP BY doc_id, bucket
+    ), labels AS (
+      SELECT doc_id, CASE WHEN source = '{_DSIR_TARGET}' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    g1 AS (
+      -- step 1: w0 = 0 so every p = sigmoid(0) = 0.5 exactly;
+      -- (0.5 - y) * x lands on the 0.5 grid -> DECIMAL-exact sum
+      SELECT f.bucket,
+             SUM(CAST((0.5 - l.y) * f.x AS DECIMAL(28,1))) AS grad
+      FROM feats f JOIN labels l USING (doc_id) GROUP BY f.bucket
+    ), w1 AS (
+      SELECT bucket,
+             ROUND(-{_LR_RATE} * CAST(grad AS DOUBLE) / n.n_docs, 6) AS w
+      FROM g1 CROSS JOIN n
+    ), z AS (
+      -- per-term product rounded to a 9-decimal grid, DECIMAL sum ->
+      -- the dot product is order-independent on both engines
+      SELECT f.doc_id,
+             CAST(SUM(CAST(ROUND(w1.w * f.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS z
+      FROM feats f JOIN w1 USING (bucket) GROUP BY f.doc_id
+    ), p AS (
+      SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS p FROM z
+    ), g2 AS (
+      -- (p - y) sits on the 1e-6 grid; times an integer count it is
+      -- exactly representable in DECIMAL(28,6) -> exact sum again
+      SELECT f.bucket,
+             SUM(CAST(p.p - l.y AS DECIMAL(18,6)) * f.x) AS grad
+      FROM feats f JOIN p USING (doc_id) JOIN labels l USING (doc_id)
+      GROUP BY f.bucket
+    )
+    SELECT w1.bucket,
+           w1.w AS w_step1,
+           ROUND(w1.w - {_LR_RATE} * CAST(g2.grad AS DOUBLE) / n.n_docs, 6) AS w_step2
+    FROM w1 JOIN g2 USING (bucket) CROSS JOIN n
+"""
+
+
+@register("classifier_lr_train", oracle=_LR_TRAIN_ORACLE)
+def classifier_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the hashed quality classifier in-engine: two full-batch
+    gradient-descent steps of logistic regression over hashed unigram
+    count features (y = doc is from the 'src1' seed source, the same
+    target convention DSIR uses). Completes the classifier surface —
+    quality_classifier_hashed applies fixed weights; this is where
+    those weights come from when no external trainer is available, the
+    fastText-at-100 TB story run as two aggregation passes.
+
+    Scale shape: each step is one broadcast-joined pass over the
+    (doc, bucket, count) features with a map-side-partial DECIMAL
+    gradient sum into a table bounded at 1024 rows; the per-doc margin
+    z is one more bounded-broadcast join + per-doc sum. Nothing ever
+    shuffles more than (doc_id | bucket)-keyed narrow rows.
+
+    Determinism: step 1 uses w0 = 0, so p = 0.5 EXACTLY and the
+    gradient is a pure DECIMAL sum; step 2 rounds each dot-product
+    term to a 9-decimal grid before the DECIMAL sum, rounds the
+    sigmoid to 6 decimals (the 1-ulp exp() engine divergence sits ~5
+    orders inside that grid — the perplexity op's argument), and
+    (p - y) * count is exactly representable in DECIMAL(28,6)."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"])
+    feats = materialize(
+        docs.selectExpr("doc_id", f"explode({_TOKS}) AS token")
+        .selectExpr(
+            "doc_id",
+            f"CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) % {_CLS_BUCKETS} AS bucket",
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("x"))
+    )
+    labels = docs.selectExpr(
+        "doc_id",
+        f"CASE WHEN source = '{_DSIR_TARGET}' THEN 1.0D ELSE 0.0D END AS y",
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    g1 = (
+        feats.join(labels, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum(((F.lit(0.5) - F.col("y")) * F.col("x")).cast("decimal(28,1)")).alias(
+                "grad"
+            )
+        )
+    )
+    w1 = materialize(
+        g1.crossJoin(F.broadcast(n)).selectExpr(
+            "bucket",
+            f"ROUND(-{_LR_RATE} * CAST(grad AS DOUBLE) / n_docs, 6) AS w",
+        )
+    )
+    z = (
+        feats.join(F.broadcast(w1), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(w * x, 9) AS DECIMAL(28,9))"))
+            .cast("double")
+            .alias("z")
+        )
+    )
+    p = z.selectExpr("doc_id", "ROUND(1.0D / (1.0D + exp(-z)), 6) AS p")
+    g2 = (
+        feats.join(p, "doc_id")
+        .join(labels, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.expr("CAST(p - y AS DECIMAL(18,6)) * x")).alias("grad")
+        )
+    )
+    return (
+        w1.join(g2, "bucket")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "bucket",
+            "w AS w_step1",
+            f"ROUND(w - {_LR_RATE} * CAST(grad AS DOUBLE) / n_docs, 6) AS w_step2",
+        )
+    )

@@ -264,3 +264,39 @@ def test_ann_pq_trained_reduces_quantization_error(spark, sf_dir):
     m1 = mse(cb1)
     subrows.unpersist()
     assert m1 <= m0, (m0, m1)
+
+
+def test_classifier_lr_train_reduces_loss(spark, sf_dir, duck):
+    """Two GD steps must reduce the full-batch logistic loss below the
+    w=0 starting point (ln 2) — the training actually trains. Loss is
+    recomputed independently in DuckDB from the returned weights."""
+    import math
+
+    from mapreducecore_spark.queries.llm import _TOKS_DUCK
+
+    w = REGISTRY["classifier_lr_train"].fn(spark, sf_dir).collect()
+    assert len(w) > 0
+    vals = ", ".join(f"({r.bucket}, {r.w_step2})" for r in w)
+    loss = duck.sql(
+        f"""
+        WITH w(bucket, wv) AS (VALUES {vals}),
+        toks AS (SELECT doc_id, source, unnest({_TOKS_DUCK}) AS token
+                 FROM documents),
+        feats AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 1024 AS bucket,
+                 COUNT(*) AS x
+          FROM toks GROUP BY doc_id, bucket
+        ),
+        z AS (SELECT f.doc_id, SUM(w.wv * f.x) AS z
+              FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id),
+        scored AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.source = 'src1' THEN 1.0 ELSE 0.0 END AS y,
+                 1.0 / (1.0 + exp(-COALESCE(z.z, 0))) AS p
+          FROM documents d LEFT JOIN z USING (doc_id)
+        )
+        SELECT AVG(-(y * ln(p) + (1 - y) * ln(1 - p))) FROM scored
+        """
+    ).fetchall()[0][0]
+    assert loss < math.log(2), f"loss {loss} did not improve on ln(2)"

@@ -62,6 +62,7 @@ HEAVY = [
     "corpus_ingest_incremental",
     "ann_pq_topk",
     "ann_pq_trained",
+    "classifier_lr_train",
     "dedup_lines_ccnet",
     "quality_token_entropy",
 ]
