@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_pq_trained",
     "ann_pq_recall",
     "classifier_lr_train",
+    "quality_classifier_trained",
     # First-time: events tail.
     "events_sessionize_batch",
     "events_debounce",

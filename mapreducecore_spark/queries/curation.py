@@ -1047,3 +1047,72 @@ def classifier_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ROUND(w - {_LR_RATE} * CAST(grad AS DOUBLE) / n_docs, 6) AS w_step2",
         )
     )
+
+
+_CLS_TRAINED_ORACLE = f"""
+    WITH trained AS ({_LR_TRAIN_ORACLE}),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {_CLS_BUCKETS} AS bucket,
+             COUNT(*) AS x
+      FROM toks GROUP BY doc_id, bucket
+    ), z AS (
+      SELECT f.doc_id,
+             CAST(SUM(CAST(ROUND(t.w_step2 * f.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS z
+      FROM feats f JOIN trained t USING (bucket) GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           ROUND(1.0 / (1.0 + exp(-COALESCE(z.z, 0))), 6) AS score,
+           ROUND(1.0 / (1.0 + exp(-COALESCE(z.z, 0))), 6) >= 0.5 AS keep
+    FROM documents d LEFT JOIN z USING (doc_id)
+"""
+
+
+@register("quality_classifier_trained", oracle=_CLS_TRAINED_ORACLE)
+def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train-then-apply loop: score every document under the
+    weights classifier_lr_train just produced (w_step2) — sigmoid of
+    the hashed-count dot product, keep at score >= 0.5. Together with
+    quality_classifier_hashed (fixed external weights) this covers
+    both provenances a production gate has: weights shipped in, or
+    weights trained in-engine on the corpus's own seed labels.
+
+    Scale shape: training's bounded passes plus ONE scoring pass — the
+    1024-row trained weight table broadcasts, the per-doc margin is a
+    map-side-partial DECIMAL sum keyed by doc_id. Same 9-decimal-grid
+    dot product and 6-decimal sigmoid as the trainer, so the composed
+    oracle stays hash-exact."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"])
+    w = materialize(
+        classifier_lr_train(spark, sf_dir).select("bucket", "w_step2")
+    )
+    feats = (
+        docs.selectExpr("doc_id", f"explode({_TOKS}) AS token")
+        .selectExpr(
+            "doc_id",
+            f"CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) % {_CLS_BUCKETS} AS bucket",
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("x"))
+    )
+    z = (
+        feats.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(w_step2 * x, 9) AS DECIMAL(28,9))"))
+            .cast("double")
+            .alias("z")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(z, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "ROUND(1.0D / (1.0D + exp(-COALESCE(z, 0.0D))), 6) AS score",
+            "ROUND(1.0D / (1.0D + exp(-COALESCE(z, 0.0D))), 6) >= 0.5 AS keep",
+        )
+    )
