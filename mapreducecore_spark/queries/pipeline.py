@@ -269,20 +269,35 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: top part pairs ordered together.
-    Dedup to (order, part) grain first, self-join on the order key
-    (pair fan-out is C(basket,2), bounded by basket size, never a
-    global cross join), then a global top-100 with a tie-proof order.
-    The order-key self-join is co-partitioned: one shuffle feeds both
-    sides."""
+    ONE exchange keyed by order collects each basket as a sorted
+    distinct array; pairs are generated IN-ROW (fan-out C(basket,2),
+    bounded by basket size — TPC-H baskets are <= 7 items — never a
+    global cross join), and the pair-count aggregation runs AFTER an
+    explicit exchange on the pair key: on a replicated 100x corpus the
+    pair keyspace is collision-free, so a map-side partial aggregate
+    buffers millions of never-merging keys per task (measured heap OOM
+    at the 100x sweep, round 5); post-exchange, agg memory is bounded
+    by per-partition key count and spills gracefully. The trade —
+    shuffling raw pair instances instead of map-side-combined counts —
+    is the cardinality-robust choice for a pair-count report. Global
+    top-100 with a tie-proof order."""
     t = load_tables(spark, sf_dir)
-    items = materialize(
-        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = baskets.filter(F.size("parts") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (a, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " b -> struct(a AS part_a, b AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        pairs.repartition("part_a", "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
     )
