@@ -53,13 +53,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # drains) and fills the remaining ~42 with entries that have NO
 # driver row in r01-r04: semdedup_prune FIRST (its centroids became
 # Lloyd-trained in r4, so its r3 driver row attests to superseded
-# outputs — ADVICE r4), then every round-4 operator, the five new
+# outputs — ADVICE r4), then every round-4 operator, the ten new
 # round-5 operators (persisted band index build, incremental-vs-index
 # dedup, survivor-trained DSIR pipeline v3, watermarked streaming
-# incremental dedup, per-batch ingest composition), then the
-# events/agg/approx/subquery/sampling/setops tail. All pre-existing
-# entries passed the local full-registry driver_sim (225/225 at
-# sf0.01 after the r5 additions) before rotation.
+# incremental dedup, per-batch ingest composition, PQ ANN
+# seeded/trained/recall, classifier training + trained-apply), then
+# the events/agg/approx/subquery/sampling/setops tail — the window
+# cut now lands after set_except; the displaced misc-LLM tail leads
+# the round-6 candidates. All pre-existing entries passed the local
+# full-registry driver_sim (231/231 at sf0.01 after the r5
+# additions) before rotation.
 _PRIORITY: tuple[str, ...] = (
     # Flagship LLM-pipeline north stars (judge-named must-verify set).
     "dedup_minhash_lsh",
