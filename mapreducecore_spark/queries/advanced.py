@@ -525,10 +525,25 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded memory per partition, partial sketches merge at the
     exchange — the 100 TB alternative to exact percentile's full sort.
     Rows-only check (sketch internals are engine-specific); the exact
-    twin `agg_percentiles` is the oracle-checked variant."""
+    twin `agg_percentiles` is the oracle-checked variant. Output is
+    three scalar columns (not the raw array) because the driver's
+    rows-only canonicalizer sorts every column with pandas, which
+    cannot hash an ndarray cell."""
     t = load_tables(spark, sf_dir)
-    return t["orders"].groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("pcts")
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75], 10000
+            ).alias("pcts")
+        )
+        .select(
+            "o_orderstatus",
+            F.col("pcts")[0].alias("p25"),
+            F.col("pcts")[1].alias("p50"),
+            F.col("pcts")[2].alias("p75"),
+        )
     )
 
 

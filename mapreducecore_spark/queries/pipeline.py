@@ -855,7 +855,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            ROUND(maxabs / 127, 9) AS scale,
-           list_transform(emb, x -> CAST(trunc(coalesce(x * 127 / nullif(maxabs, 0), 0)) AS INT)) AS qvec
+           coalesce(array_to_string(
+               list_transform(emb, x -> CAST(trunc(coalesce(x * 127 / nullif(maxabs, 0), 0)) AS INT)),
+               ','), '') AS qvec
     FROM m
     """,
 )
@@ -865,7 +867,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array math, no shuffle; truncation toward zero on both
     engines (Spark's int CAST truncates, DuckDB's rounds — the oracle
     spells trunc() out) so both land on identical integers. Dequantize =
-    qvec * scale."""
+    qvec * scale. qvec is emitted comma-serialized (scalar column) so
+    the driver's pandas canonicalizer can sort it; the quantization
+    math itself is array-native."""
     t = load_tables(spark, sf_dir)
     return spread(t["embeddings"]).selectExpr(
         "vec_id",
@@ -878,8 +882,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(maxabs / 127, 9) AS scale",
         # nullif+coalesce: a zero vector has maxabs 0 and must quantize
         # to zeros, not crash ANSI division (DuckDB x/0 -> NULL mirrors).
-        "transform(emb, x -> CAST(coalesce(x * 127 / nullif(maxabs, CAST(0 AS DOUBLE)),"
-        " CAST(0 AS DOUBLE)) AS INT)) AS qvec",
+        "concat_ws(',', transform(emb, x -> CAST(CAST(coalesce("
+        "x * 127 / nullif(maxabs, CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE))"
+        " AS INT) AS STRING))) AS qvec",
     )
 
 

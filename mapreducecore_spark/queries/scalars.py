@@ -522,15 +522,19 @@ def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM part WHERE p_partkey < 400)
     SELECT p_partkey,
            CAST(list_position(words, 'lace') AS INT) AS pos_lace,
-           words[1:2] AS first_two,
-           list_reverse_sort(words) AS words_desc,
+           coalesce(array_to_string(words[1:2], ','), '') AS first_two,
+           coalesce(array_to_string(list_reverse_sort(words), ','), '')
+             AS words_desc,
            CAST(len(range(1, CAST(len(words) AS BIGINT) + 1)) AS INT) AS idx_len
     FROM t
     """,
 )
 def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second array batch: array_position / slice / descending sort /
-    sequence length round-trip."""
+    sequence length round-trip. Array results are serialized with
+    concat_ws so the output schema is scalar-only (the driver's
+    canonicalizer sorts columns with pandas, which cannot hash array
+    cells); the array ops themselves still run natively."""
     t = load_tables(spark, sf_dir)
     return (
         t["part"]
@@ -542,8 +546,8 @@ def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "p_partkey",
             "CAST(array_position(words, 'lace') AS INT) AS pos_lace",
-            "slice(words, 1, 2) AS first_two",
-            "reverse(array_sort(words)) AS words_desc",
+            "concat_ws(',', slice(words, 1, 2)) AS first_two",
+            "concat_ws(',', reverse(array_sort(words))) AS words_desc",
             "CAST(size(sequence(1, size(words))) AS INT) AS idx_len",
         )
     )
@@ -587,20 +591,30 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part WHERE p_partkey < 400
     )
     SELECT p_partkey,
-           flatten([words, ['x']]) AS flat,
-           list_filter(nums, e -> e <> p_partkey % 7) AS removed,
-           list_sort(list_distinct(list_concat(nums, [1, 2]))) AS unioned,
-           list_sort(list_filter(list_distinct(nums),
-                                 e -> NOT list_contains([1, 2], e))) AS excepted,
-           list_sort(list_filter(list_distinct(nums),
-                                 e -> list_contains([1, 2], e))) AS intersected
+           coalesce(array_to_string(flatten([words, ['x']]), ','), '') AS flat,
+           coalesce(array_to_string(
+               list_filter(nums, e -> e <> p_partkey % 7), ','), '') AS removed,
+           coalesce(array_to_string(
+               list_sort(list_distinct(list_concat(nums, [1, 2]))), ','), '')
+             AS unioned,
+           coalesce(array_to_string(
+               list_sort(list_filter(list_distinct(nums),
+                                     e -> NOT list_contains([1, 2], e))), ','), '')
+             AS excepted,
+           coalesce(array_to_string(
+               list_sort(list_filter(list_distinct(nums),
+                                     e -> list_contains([1, 2], e))), ','), '')
+             AS intersected
     FROM a
     """,
 )
 def scalar_array_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array batch 3: flatten, array_remove, and the sorted forms of
     array_union/except/intersect (sorted because the engines'
-    first-seen orders differ; set semantics are the portable part)."""
+    first-seen orders differ; set semantics are the portable part).
+    Results are concat_ws-serialized so the output schema is
+    scalar-only for the driver's pandas canonicalizer; empty arrays
+    become '' on both engines (DuckDB side coalesces its NULL)."""
     t = load_tables(spark, sf_dir)
     return (
         t["part"]
@@ -612,11 +626,15 @@ def scalar_array_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr(
             "p_partkey",
-            "flatten(array(words, array('x'))) AS flat",
-            "array_remove(nums, p_partkey % 7) AS removed",
-            "array_sort(array_union(nums, array(1, 2))) AS unioned",
-            "array_sort(array_except(nums, array(1, 2))) AS excepted",
-            "array_sort(array_intersect(nums, array(1, 2))) AS intersected",
+            "concat_ws(',', flatten(array(words, array('x')))) AS flat",
+            "concat_ws(',', transform(array_remove(nums, p_partkey % 7),"
+            " e -> CAST(e AS STRING))) AS removed",
+            "concat_ws(',', transform(array_sort(array_union(nums, array(1, 2))),"
+            " e -> CAST(e AS STRING))) AS unioned",
+            "concat_ws(',', transform(array_sort(array_except(nums, array(1, 2))),"
+            " e -> CAST(e AS STRING))) AS excepted",
+            "concat_ws(',', transform(array_sort(array_intersect(nums, array(1, 2))),"
+            " e -> CAST(e AS STRING))) AS intersected",
         )
     )
 

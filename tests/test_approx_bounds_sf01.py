@@ -46,7 +46,7 @@ def test_approx_count_distinct_bound_sf01(spark):
 
 def test_approx_percentile_bound_sf01(spark):
     approx = {
-        r["o_orderstatus"]: r["pcts"]
+        r["o_orderstatus"]: [r["p25"], r["p50"], r["p75"]]
         for r in REGISTRY["agg_approx_percentile"].fn(spark, SF01).collect()
     }
     od = spark.read.parquet(f"{SF01}/orders.parquet")

@@ -283,7 +283,7 @@ def test_approx_percentile_brackets_exact(spark, sf_dir):
     from mapreducecore_spark.queries.advanced import agg_approx_percentile
 
     approx = {
-        r["o_orderstatus"]: r["pcts"]
+        r["o_orderstatus"]: [r["p25"], r["p50"], r["p75"]]
         for r in agg_approx_percentile(spark, sf_dir).collect()
     }
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")
