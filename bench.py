@@ -225,13 +225,20 @@ def main() -> None:
         # workload and its spread is suspect (VERDICT r4 #8) — the
         # flag makes a noisy record identifiable instead of silently
         # authoritative.
-        "concurrent_jvms_at_end": max(_count_other_jvms() - 1, 0),
+        # -1 sentinel (ps probe failed) must survive the minus-self
+        # adjustment, or a record whose end probe never ran could claim
+        # solo_run=true (ADVICE r5).
+        "concurrent_jvms_at_end": (
+            n_end if (n_end := _count_other_jvms()) < 0 else max(n_end - 1, 0)
+        ),
         # Which TWS runtime executed the stream_live_tws_* entries —
         # native transformWithStateInPandas needs the protobuf state
         # protocol; recording the selected path makes a silent fallback
         # regression visible in the round record (VERDICT r4 #7).
         "tws_runtime": "native" if _tws_native else "fallback",
     }
+    # Both probes must have RUN (>= 0) and counted zero: a failed probe
+    # is unknown, not clean.
     full["solo_run"] = (
         full["concurrent_jvms_at_start"] == 0 and full["concurrent_jvms_at_end"] == 0
     )

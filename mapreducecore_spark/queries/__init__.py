@@ -58,7 +58,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # driver's pandas canonicalizer never meets an array cell);
 # multimodal_decode (PNG decode added this round changes its output);
 # and 10 re-certifications of the minhash-bucket/incremental-dedup
-# family whose shared helpers (_minhash_buckets/_emit_bucket_pairs)
+# family whose shared helpers (_minhash_member_rows/_emit_bucket_pairs)
 # were reworked for ADVICE r5. Everything displaced has a green r1-r5
 # driver row and full driver_sim coverage.
 _PRIORITY: tuple[str, ...] = (
@@ -107,7 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "json_dead_letter_split",
     # Output changed this round: PNG decode joins PPM/WAV (VERDICT r5 #7).
     "multimodal_decode",
-    # Re-certs: share _minhash_buckets/_emit_bucket_pairs or the
+    # Re-certs: share _minhash_member_rows/_emit_bucket_pairs or the
     # incremental-dedup helpers touched by the ADVICE r5 rework.
     "dedup_candidate_recall",
     "dedup_lsh_verified_pairs",

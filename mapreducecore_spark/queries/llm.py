@@ -14,6 +14,8 @@ Design rules for 100 TB:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -182,8 +184,8 @@ def _minhash_band_pairs(docs: DataFrame) -> DataFrame:
     pair set with no pair-keyed exchange at all — the same redesign
     measured 8.0 -> 1.2 GB on the scorers)."""
     return _emit_bucket_pairs(
-        _minhash_buckets(docs, with_sets=False),
-        "struct(a.doc_id AS doc_a, m.doc_id AS doc_b)",
+        _minhash_member_rows(docs, with_sets=False),
+        lambda a: f"struct({a}.doc_id AS doc_a, m.doc_id AS doc_b)",
     )
 
 
@@ -738,9 +740,9 @@ def _scored_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape (VERDICT r4 #3): no pair-keyed join, no global
     distinct. Each doc's struct carries its hashed shingle set, its
     8-minhash signature vector, AND its four per-band bucket widths +
-    representatives (one narrow pre-pass); each bucket is collected
-    into one sorted array row. A pair is emitted ONLY from its
-    MINIMAL GENERATING BAND — for any two co-bucketed docs the
+    representatives (one narrow pre-pass); each SMALL bucket is
+    collected into one sorted array row. A pair is emitted ONLY from
+    its MINIMAL GENERATING BAND — for any two co-bucketed docs the
     emission test is in-row decidable: band b' generates the pair iff
     their band-b' signatures match AND (that bucket is small, or its
     representative is the pair's smaller doc) — so cross-band
@@ -755,29 +757,37 @@ def _scored_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-bearing rows. History: pair-keyed array joins 8-10 GB
     shuffle + 16g heap (pairs x arrays; 25.7M true pairs at 100x);
     in-bucket self-join 6.1 GB; exploded (doc, shingle) join 24.6 GB
-    in one stage. Bucket memory is bounded: the worst planted bucket
-    (3000-doc exact-dup cluster) collects ~1.2 MB and emits its
-    pairs as one star array."""
+    in one stage. Bucket memory is bounded even for arbitrarily large
+    exact-dup clusters: oversized buckets are never collected — their
+    star pairs stream through a window over the same bucket key with
+    two member payloads per row (ADVICE r5)."""
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"]).selectExpr("doc_id", f"{_TOKS} AS toks")
-    score = (
-        "struct(a.doc_id AS doc_a, m.doc_id AS doc_b, "
-        "size(array_intersect(a.hs, m.hs)) AS n_common, "
-        "a.n_sh AS na, m.n_sh AS nb, "
-        "aggregate(zip_with(a.mhs, m.mhs, (x, y) -> IF(x = y, 1, 0)), 0, "
-        f"(acc, v) -> acc + v) / CAST({_MINHASH_SEEDS} AS DOUBLE) AS est_jaccard_raw)"
-    )
-    return _emit_bucket_pairs(_minhash_buckets(docs, with_sets=True), score)
+    def score(a: str) -> str:
+        return (
+            f"struct({a}.doc_id AS doc_a, m.doc_id AS doc_b, "
+            f"size(array_intersect({a}.hs, m.hs)) AS n_common, "
+            f"{a}.n_sh AS na, m.n_sh AS nb, "
+            f"aggregate(zip_with({a}.mhs, m.mhs, (x, y) -> IF(x = y, 1, 0)), 0, "
+            f"(acc, v) -> acc + v) / CAST({_MINHASH_SEEDS} AS DOUBLE)"
+            f" AS est_jaccard_raw)"
+        )
+
+    return _emit_bucket_pairs(_minhash_member_rows(docs, with_sets=True), score)
 
 
-def _minhash_buckets(docs: DataFrame, with_sets: bool) -> DataFrame:
-    """(band_id, sig, ms): every LSH bucket collected into ONE sorted
-    array of member structs, each struct carrying the doc's signature
-    vector plus its four per-band bucket widths and representatives
-    (and, with_sets, its hashed shingle set + size for the exact
-    scorers). sort_array puts min doc_id — the bucket representative —
-    first. The only array-bearing exchange is the final bucket
-    groupBy; the width/rep pre-pass rows are (ids + sig string)."""
+def _minhash_member_rows(docs: DataFrame, with_sets: bool) -> DataFrame:
+    """(band_id, sig, width, m): one row per (doc, band), where m is
+    the member struct carrying the doc's signature vector plus its
+    four per-band bucket widths and representatives (and, with_sets,
+    its hashed shingle set + size for the exact scorers) and width is
+    this band's bucket width. _emit_bucket_pairs collects ONLY the
+    small buckets into array rows; oversized buckets stay as rows (a
+    window supplies the representative), so no single row ever holds
+    more than two shingle sets regardless of cluster size (ADVICE r5:
+    the previous shape collected a 3000-doc exact-dup cluster's entire
+    hs payload — ~1.2 MB, unbounded in cluster size — into one row).
+    The width/rep pre-pass rows are narrow (ids + sig string)."""
     sh = (
         docs.filter(F.expr("size(toks) >= 3"))
         .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
@@ -839,47 +849,77 @@ def _minhash_buckets(docs: DataFrame, with_sets: bool) -> DataFrame:
     return (
         per_doc.join(band_meta, "doc_id")
         .select(F.explode(band_structs).alias("b"), member.alias("m"))
-        .select("b.band_id", "b.sig", "m")
+        .select(
+            "b.band_id",
+            "b.sig",
+            F.expr("m.bws[b.band_id]").alias("width"),
+            "m",
+        )
+    )
+
+
+def _emit_sql(left: str) -> str:
+    """The minimal-generating-band test as SQL, parameterized on the
+    left member's SQL prefix (`a` in the clique lambda, `rep` in the
+    star path) — a template function instead of textual
+    `.replace('a.', ...)`, which would silently corrupt the
+    expression if a pair-struct ever contained another identifier
+    ending in 'a.' (ADVICE r5).
+
+    EMIT(left, m): a pair is produced only from its MINIMAL
+    GENERATING BAND — skip if any earlier band b' already generated
+    it, i.e. the signatures match at b' AND (that bucket is small, or
+    its representative is the pair's smaller doc = left.doc_id). This
+    makes the global pair DISTINCT unnecessary: no pair-keyed
+    exchange ever exists. band_id = 0 short-circuits because
+    sequence(0, -1) would count DOWN in Spark SQL."""
+    return (
+        f"(band_id = 0 OR NOT exists(sequence(0, band_id - 1), bp -> "
+        f"{left}.mhs[2 * bp] = m.mhs[2 * bp] "
+        f"AND {left}.mhs[2 * bp + 1] = m.mhs[2 * bp + 1] "
+        f"AND ({left}.bws[bp] <= {_MINHASH_MAX_BUCKET} "
+        f"OR {left}.reps[bp] = {left}.doc_id)))"
+    )
+
+
+def _emit_bucket_pairs(
+    rows: DataFrame, pair_struct_sql: Callable[[str], str]
+) -> DataFrame:
+    """Generate every guarded candidate pair exactly once from the
+    member-row frame, projecting each through `pair_struct_sql(left)`
+    (a SQL struct over the left member prefix and `m`,
+    left.doc_id < m.doc_id).
+
+    Small buckets (width <= _MINHASH_MAX_BUCKET) are collected into
+    one sorted array row and emit their clique pairs inside a single
+    higher-order expression, so non-surviving pairs never materialize
+    a row. Oversized buckets (giant exact-dup clusters) are NEVER
+    collected: their rows keep flowing and a window first() over the
+    same (band_id, sig) key supplies the representative struct, so
+    star pairs are emitted row-by-row with exactly two member payloads
+    per row — bounded executor memory for arbitrarily large clusters
+    (ADVICE r5; the window reuses the bucket key's hash partitioning,
+    so this adds a sort but no extra exchange over the collect it
+    replaces)."""
+    buckets = (
+        rows.filter(F.col("width") <= _MINHASH_MAX_BUCKET)
         .groupBy("band_id", "sig")
         .agg(F.sort_array(F.collect_list("m")).alias("ms"))
     )
-
-
-def _emit_bucket_pairs(buckets: DataFrame, pair_struct_sql: str) -> DataFrame:
-    """Generate every guarded candidate pair exactly once from the
-    bucket frame, projecting each through `pair_struct_sql` (a SQL
-    struct over member structs `a` and `m`, a.doc_id < m.doc_id).
-
-    EMIT(a, m): a pair is produced only from its MINIMAL GENERATING
-    BAND — skip if any earlier band b' already generated it, i.e. the
-    signatures match at b' AND (that bucket is small, or its
-    representative is the pair's smaller doc = a.doc_id, ms being
-    sorted). This makes the global pair DISTINCT unnecessary: no
-    pair-keyed exchange ever exists. band_id = 0 short-circuits
-    because sequence(0, -1) would count DOWN in Spark SQL. Pairs are
-    filtered and projected INSIDE one higher-order expression per
-    bucket row, so non-surviving pairs never materialize a row and
-    no member struct outlives its bucket row."""
-    emit = (
-        "(band_id = 0 OR NOT exists(sequence(0, band_id - 1), bp -> "
-        "a.mhs[2 * bp] = m.mhs[2 * bp] AND a.mhs[2 * bp + 1] = m.mhs[2 * bp + 1] "
-        f"AND (a.bws[bp] <= {_MINHASH_MAX_BUCKET} OR a.reps[bp] = a.doc_id)))"
-    )
     clique_pairs = (
         f"flatten(transform(ms, (a, i) -> "
-        f"transform(filter(slice(ms, i + 2, size(ms)), m -> {emit}), "
-        f"m -> {pair_struct_sql})))"
+        f"transform(filter(slice(ms, i + 2, size(ms)), m -> {_emit_sql('a')}), "
+        f"m -> {pair_struct_sql('a')})))"
     )
-    star_pairs = (
-        f"transform(filter(slice(ms, 2, size(ms)), "
-        f"m -> {emit.replace('a.', 'ms[0].')}), "
-        f"m -> {pair_struct_sql.replace('a.', 'ms[0].')})"
+    clique = buckets.filter(F.size("ms") >= 2).select(
+        F.explode(F.expr(clique_pairs)).alias("p")
     )
-    clique = buckets.filter(
-        (F.size("ms") >= 2) & (F.size("ms") <= _MINHASH_MAX_BUCKET)
-    ).select(F.explode(F.expr(clique_pairs)).alias("p"))
-    star = buckets.filter(F.size("ms") > _MINHASH_MAX_BUCKET).select(
-        F.explode(F.expr(star_pairs)).alias("p")
+    w = Window.partitionBy("band_id", "sig").orderBy(F.col("m.doc_id"))
+    star = (
+        rows.filter(F.col("width") > _MINHASH_MAX_BUCKET)
+        .select("band_id", "sig", "m", F.first("m").over(w).alias("rep"))
+        .filter(F.expr(f"m.doc_id <> rep.doc_id AND {_emit_sql('rep')}"))
+        .select(F.expr(pair_struct_sql("rep")).alias("p"))
     )
     return clique.unionByName(star).select("p.*")
 
