@@ -105,10 +105,13 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "ann_cosine_quantized",
     "json_dead_letter_split",
-    # Output changed this round: PNG decode joins PPM/WAV (VERDICT r5 #7).
+    # Outputs changed this round: PNG payloads joined the synthesized
+    # fixture (VERDICT r5 #7) — both consumers' values moved, so both
+    # re-enter the window (a stale green row is worse than none).
     "multimodal_decode",
-    # Re-certs: share _minhash_member_rows/_emit_bucket_pairs or the
-    # incremental-dedup helpers touched by the ADVICE r5 rework.
+    "multimodal_binary_dedup",
+    # Re-certs: share _minhash_member_rows/_emit_bucket_pairs touched
+    # by the ADVICE r5 rework, or the round-5-born incremental family.
     "dedup_candidate_recall",
     "dedup_lsh_verified_pairs",
     "dedup_savings_report",
@@ -116,16 +119,17 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "dedup_incremental_persisted",
     "dedup_band_index_build",
-    "stream_live_incremental_dedup",
     "stream_live_incremental_dedup_wm",
     "corpus_ingest_incremental",
     # ---- end of the exactly-50-entry driver window ----
-    # Displaced entries, all with green r1-r5 driver rows.
+    # Displaced entries, all with green r1-r5 driver rows
+    # (stream_live_incremental_dedup's helpers are untouched this
+    # round, so its r5 row stays fresh).
+    "stream_live_incremental_dedup",
     "semdedup_prune",
     "domain_cap_kept",
     "dedup_lines_newline",
     "dsir_importance_weights",
-    "multimodal_binary_dedup",
     "doc_fingerprint_winnow",
     "quality_percentile_by_source",
     "stream_live_quality_gate",

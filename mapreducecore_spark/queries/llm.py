@@ -2109,7 +2109,9 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image/ppm' ELSE 'audio/wav' END AS kind,
+           CASE WHEN doc_id % 4 = 0 THEN 'image/png'
+                WHEN doc_id % 2 = 0 THEN 'image/ppm'
+                ELSE 'audio/wav' END AS kind,
            CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INT) END AS width,
            CASE WHEN doc_id % 2 = 0 THEN CAST(3 + doc_id % 7 AS INT) END AS height,
            CASE WHEN doc_id % 2 = 0 THEN ROUND(CAST(doc_id % 251 AS DOUBLE), 6) END AS mean_pixel,
@@ -2122,14 +2124,18 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal decode: synthesize PPM/WAV payloads with
-    doc_id-derived parameters (even ids -> constant-color P6 image, odd
-    ids -> constant-amplitude PCM WAV), then parse them back with the
-    dependency-free codecs in llm/multimodal.py (header walk + numpy
-    sample stats) over Arrow-batched mapInPandas. The oracle predicts
-    every decoded field arithmetically, so a value-hash match proves the
-    decoder correctly inverts the byte layout — not just the plumbing.
-    Replaces the round-1 `multimodal_decode_stub` (VERDICT item 3)."""
+    """REAL multimodal decode: synthesize PNG/PPM/WAV payloads with
+    doc_id-derived parameters (ids % 4 == 0 -> compressed PNG, other
+    even ids -> raw P6 image, odd ids -> constant-amplitude PCM WAV),
+    then parse them back with the dependency-free codecs in
+    llm/multimodal.py (chunk walk + zlib inflate + defilter for PNG,
+    header walk + numpy sample stats for the rest) over Arrow-batched
+    mapInPandas. The oracle predicts every decoded field
+    arithmetically, so a value-hash match proves each decoder
+    correctly inverts its byte layout — for PNG that includes the
+    DEFLATE stream and the None/Sub/Up scanline filters the encoder
+    rotates through — not just the plumbing. Replaces the round-1
+    `multimodal_decode_stub` (VERDICT item 3)."""
     from mapreducecore_spark.llm.multimodal import decode_multimodal, synthesize_payloads
 
     t = load_tables(spark, sf_dir)
@@ -2475,7 +2481,8 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH params AS (
       SELECT doc_id,
              CASE WHEN doc_id % 2 = 0
-                  THEN 'img:' || (4 + doc_id % 13) || 'x' || (3 + doc_id % 7)
+                  THEN CASE WHEN doc_id % 4 = 0 THEN 'png:' ELSE 'ppm:' END
+                       || (4 + doc_id % 13) || 'x' || (3 + doc_id % 7)
                        || ':' || (doc_id % 251)
                   ELSE 'wav:' || (8000 + 100 * (doc_id % 5)) || ':'
                        || (100 + doc_id % 900) || ':' || (doc_id % 1000 - 500)
@@ -2484,7 +2491,8 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT MIN(doc_id) AS keeper_doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_copies,
-           CASE WHEN MIN(doc_id) % 2 = 0 THEN 'image/ppm'
+           CASE WHEN MIN(doc_id) % 4 = 0 THEN 'image/png'
+                WHEN MIN(doc_id) % 2 = 0 THEN 'image/ppm'
                 ELSE 'audio/wav' END AS kind
     FROM params GROUP BY content_key
     """,
@@ -2495,7 +2503,7 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     /audio counterpart of dedup_exact (real crawls carry the same
     image under millions of URLs; content-hash dedup is the standard
     first pass before any perceptual hashing). Payloads are the
-    synthesized PPM/WAV fixtures; since their bytes are a pure
+    synthesized PNG/PPM/WAV fixtures; since their bytes are a pure
     function of doc_id-derived parameters, the oracle predicts the
     dup GROUPS from the parameters alone — a value match proves the
     byte-level hash grouped exactly the truly-identical payloads
@@ -2520,7 +2528,8 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "keeper_doc_id",
             "n_copies",
-            "CASE WHEN keeper_doc_id % 2 = 0 THEN 'image/ppm'"
+            "CASE WHEN keeper_doc_id % 4 = 0 THEN 'image/png'"
+            " WHEN keeper_doc_id % 2 = 0 THEN 'image/ppm'"
             " ELSE 'audio/wav' END AS kind",
         )
     )

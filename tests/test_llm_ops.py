@@ -86,11 +86,13 @@ def test_ann_lsh_recall_on_planted_neardups(spark):
     )
 
 
-def test_multimodal_decode_raises_for_compressed_codec():
+def test_multimodal_decode_raises_for_entropy_coded_codec():
+    """PNG decodes for real since round 6; the seam now covers only
+    codecs needing entropy/transform libraries (JPEG etc.)."""
     from mapreducecore_spark.llm.multimodal import decode_image, decode_payload
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0JFIF")
     with pytest.raises(NotImplementedError):
         decode_payload(b"\xff\xd8\xff\xe0JFIF")
 
@@ -133,7 +135,7 @@ def test_multimodal_decode_query_inverts_synthesizer(spark, sf_dir):
     for r in rows:
         d = r["doc_id"]
         if d % 2 == 0:
-            assert r["kind"] == "image/ppm"
+            assert r["kind"] == ("image/png" if d % 4 == 0 else "image/ppm")
             assert (r["width"], r["height"]) == (4 + d % 13, 3 + d % 7)
             assert r["mean_pixel"] == float(d % 251)
             assert r["sample_rate"] is None

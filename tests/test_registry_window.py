@@ -36,6 +36,7 @@ ROUND6_REQUIRED = {
     "scalar_array_funcs3",
     "embedding_quantize_int8",
     "multimodal_decode",
+    "multimodal_binary_dedup",
     # the never-attested tail (30, minus the 3 already above)
     "stream_live_dedup_within_watermark",
     "quality_repetition_ratio",
