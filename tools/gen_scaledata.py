@@ -11,6 +11,19 @@ Output: /root/repo/_scaledata/sf1/<table>.parquet (single file per
 table; the engine splits parquet by row group / maxPartitionBytes, and
 spread() widens the narrow scans the same way it would real multi-file
 input). Gitignored — regenerate with: python tools/gen_scaledata.py
+
+SCALE_MODE=clusters (VERDICT r5 #5): realistic near-dup growth. The
+default replicate mode makes every base doc's COPIES copies mutual
+near-dups (one suffix token barely moves 3-gram Jaccard), so the true
+pair set grows ~quadratically in COPIES BY CONSTRUCTION — an artifact
+that dominates the Jaccard scorers' measured slope. In clusters mode
+every alphanumeric run in each copy's text gets a per-copy suffix, so
+cross-copy Jaccard collapses to ~0 while within-copy near-dup
+structure is preserved exactly (identical/overlapping segments
+transform identically); the planted giant cluster becomes COPIES
+clusters of fixed size 30 instead of one 30*COPIES-doc cluster. Dup
+clusters then have FIXED size and grow in COUNT — the production
+corpus shape — and the true-pair count grows linearly in COPIES.
 """
 
 from __future__ import annotations
@@ -23,6 +36,7 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/_scaledata/sf1"
 COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+MODE = os.environ.get("SCALE_MODE", "replicate")  # replicate | clusters
 
 OFF = 10_000_000_000  # key shift per copy; far above any real key
 
@@ -42,7 +56,7 @@ FACTS = {
     """,
     "documents": """
         SELECT doc_id + c * {off} AS doc_id,
-               CASE WHEN c = 0 THEN text ELSE text || ' copytok' || c END AS text,
+               {text_expr} AS text,
                lang,
                -- Planted MEGA-DOMAIN (VERDICT r3 #2): ~1/3 of all docs
                -- share one source key, the skew case domain_cap's
@@ -58,7 +72,7 @@ FACTS = {
         -- exist for. Unguarded, this single cluster emits ~4.5M clique
         -- pairs; guarded, ~3k star edges.
         SELECT 900000000000000 + i AS doc_id,
-               'planted giant duplicate cluster text shared verbatim by every member document' AS text,
+               {planted_text} AS text,
                'en' AS lang, 'planted' AS source, 79 AS n_chars
         FROM (SELECT unnest(range(30 * {copies})) AS i)
     """,
@@ -83,9 +97,31 @@ def main() -> None:
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(f"{t}: copied")
+    if MODE == "clusters":
+        # Per-copy suffix on EVERY alphanumeric run: cross-copy 3-gram
+        # Jaccard ~0 (tokens split on " ,.\"'" keep their suffix), so
+        # true pairs grow linearly in COPIES; within-copy structure is
+        # byte-for-byte the same transformation, hence preserved.
+        text_expr = (
+            r"CASE WHEN c = 0 THEN text "
+            r"ELSE regexp_replace(text, '([A-Za-z0-9]+)', '\1q' || c, 'g') END"
+        )
+        # COPIES clusters of FIXED size 30 (not one 30*COPIES cluster).
+        planted_text = (
+            "'planted giant duplicate cluster text shared verbatim by every"
+            " member document clusterq' || CAST(i // 30 AS VARCHAR)"
+        )
+    else:
+        text_expr = "CASE WHEN c = 0 THEN text ELSE text || ' copytok' || c END"
+        planted_text = (
+            "'planted giant duplicate cluster text shared verbatim by every"
+            " member document'"
+        )
     for t, sql in FACTS.items():
         con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{SRC}/{t}.parquet'")
-        q = sql.format(off=OFF, copies=COPIES)
+        q = sql.format(
+            off=OFF, copies=COPIES, text_expr=text_expr, planted_text=planted_text
+        )
         con.execute(
             f"COPY ({q}) TO '{DST}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)"
         )
