@@ -318,8 +318,8 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT doc_id, source,
-             (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 10 + 1)
-               / 10.0 AS keep_w,
+             (COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT), 0)
+                % 10 + 1) / 10.0 AS keep_w,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                / 4294967296.0 AS u
       FROM documents
@@ -332,10 +332,20 @@ def sample_weighted_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source weighted sampling (the source-mixing step of a
     training-data pipeline): keep probability comes from the source's
     weight, the coin flip is a hash of the doc id — reproducible across
-    runs and engines, pure map-side, no rand() seed coordination."""
+    runs and engines, pure map-side, no rand() seed coordination.
+
+    Digit-less source names weigh in at 0 (keep_w 0.1) via try_cast:
+    a plain CAST of regexp_extract's empty-string miss throws under
+    ANSI mode, so ONE unexpected source label in a 100 TB corpus
+    would kill the whole job (found by the sf1 sweep's planted
+    'megadomain'/'planted' sources)."""
     t = load_tables(spark, sf_dir)
     keep_w = (
-        F.regexp_extract("source", "([0-9]+)", 1).cast("int") % 10 + 1
+        F.coalesce(
+            F.regexp_extract("source", "([0-9]+)", 1).try_cast("int"), F.lit(0)
+        )
+        % 10
+        + 1
     ) / 10.0
     u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "bigint"
