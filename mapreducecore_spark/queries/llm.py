@@ -2109,7 +2109,8 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 4 = 0 THEN 'image/png'
+           CASE WHEN doc_id % 8 = 0 THEN 'image/jpeg'
+                WHEN doc_id % 4 = 0 THEN 'image/png'
                 WHEN doc_id % 2 = 0 THEN 'image/ppm'
                 ELSE 'audio/wav' END AS kind,
            CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INT) END AS width,
@@ -2124,18 +2125,20 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal decode: synthesize PNG/PPM/WAV payloads with
-    doc_id-derived parameters (ids % 4 == 0 -> compressed PNG, other
-    even ids -> raw P6 image, odd ids -> constant-amplitude PCM WAV),
-    then parse them back with the dependency-free codecs in
-    llm/multimodal.py (chunk walk + zlib inflate + defilter for PNG,
-    header walk + numpy sample stats for the rest) over Arrow-batched
-    mapInPandas. The oracle predicts every decoded field
-    arithmetically, so a value-hash match proves each decoder
-    correctly inverts its byte layout — for PNG that includes the
-    DEFLATE stream and the None/Sub/Up scanline filters the encoder
-    rotates through — not just the plumbing. Replaces the round-1
-    `multimodal_decode_stub` (VERDICT item 3)."""
+    """REAL multimodal decode: synthesize JPEG/PNG/PPM/WAV payloads
+    with doc_id-derived parameters (ids % 8 == 0 -> baseline JFIF
+    JPEG, other ids % 4 == 0 -> compressed PNG, other even ids -> raw
+    P6 image, odd ids -> constant-amplitude PCM WAV), then parse them
+    back with the dependency-free codecs in llm/multimodal.py (marker
+    walk + Huffman entropy decode + dequant + IDCT for JPEG; chunk
+    walk + zlib inflate + defilter for PNG; header walk + numpy sample
+    stats for the rest) over Arrow-batched mapInPandas. The oracle
+    predicts every decoded field arithmetically, so a value-hash match
+    proves each decoder correctly inverts its byte layout — for JPEG
+    the constant-color payload is DC-only under all-ones quant, so the
+    decoded mean is exact iff the Huffman tables, zigzag, dequant and
+    IDCT all agree with the encoder — not just the plumbing. Replaces
+    the round-1 `multimodal_decode_stub` (VERDICT item 3)."""
     from mapreducecore_spark.llm.multimodal import decode_multimodal, synthesize_payloads
 
     t = load_tables(spark, sf_dir)
@@ -2481,7 +2484,9 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH params AS (
       SELECT doc_id,
              CASE WHEN doc_id % 2 = 0
-                  THEN CASE WHEN doc_id % 4 = 0 THEN 'png:' ELSE 'ppm:' END
+                  THEN CASE WHEN doc_id % 8 = 0 THEN 'jpeg:'
+                            WHEN doc_id % 4 = 0 THEN 'png:'
+                            ELSE 'ppm:' END
                        || (4 + doc_id % 13) || 'x' || (3 + doc_id % 7)
                        || ':' || (doc_id % 251)
                   ELSE 'wav:' || (8000 + 100 * (doc_id % 5)) || ':'
@@ -2491,7 +2496,8 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT MIN(doc_id) AS keeper_doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_copies,
-           CASE WHEN MIN(doc_id) % 4 = 0 THEN 'image/png'
+           CASE WHEN MIN(doc_id) % 8 = 0 THEN 'image/jpeg'
+                WHEN MIN(doc_id) % 4 = 0 THEN 'image/png'
                 WHEN MIN(doc_id) % 2 = 0 THEN 'image/ppm'
                 ELSE 'audio/wav' END AS kind
     FROM params GROUP BY content_key
@@ -2503,7 +2509,7 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     /audio counterpart of dedup_exact (real crawls carry the same
     image under millions of URLs; content-hash dedup is the standard
     first pass before any perceptual hashing). Payloads are the
-    synthesized PNG/PPM/WAV fixtures; since their bytes are a pure
+    synthesized JPEG/PNG/PPM/WAV fixtures; since their bytes are a pure
     function of doc_id-derived parameters, the oracle predicts the
     dup GROUPS from the parameters alone — a value match proves the
     byte-level hash grouped exactly the truly-identical payloads
@@ -2528,7 +2534,8 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "keeper_doc_id",
             "n_copies",
-            "CASE WHEN keeper_doc_id % 4 = 0 THEN 'image/png'"
+            "CASE WHEN keeper_doc_id % 8 = 0 THEN 'image/jpeg'"
+            " WHEN keeper_doc_id % 4 = 0 THEN 'image/png'"
             " WHEN keeper_doc_id % 2 = 0 THEN 'image/ppm'"
             " ELSE 'audio/wav' END AS kind",
         )

@@ -133,20 +133,195 @@ def test_png_unsupported_shapes_raise_not_implemented():
         decode_png(bytes(payload))
 
 
-def test_synthesize_payloads_plants_png_for_mod4_ids(spark):
+def test_synthesize_payloads_container_dispatch(spark):
+    """doc_id % 8 == 0 -> JPEG, other % 4 == 0 -> PNG, other evens ->
+    PPM, odds -> WAV; every image round-trips to its exact constant
+    color through its own real codec."""
     from mapreducecore_spark.llm.multimodal import synthesize_payloads
 
-    ids = spark.range(0, 8).selectExpr("id AS doc_id")
+    ids = spark.range(0, 16).selectExpr("id AS doc_id")
     rows = {
         r["doc_id"]: bytes(r["payload"])
         for r in synthesize_payloads(ids).collect()
     }
-    assert rows[0][:8] == b"\x89PNG\r\n\x1a\n"
+    assert rows[0][:2] == b"\xff\xd8"
+    assert rows[8][:2] == b"\xff\xd8"
     assert rows[4][:8] == b"\x89PNG\r\n\x1a\n"
+    assert rows[12][:8] == b"\x89PNG\r\n\x1a\n"
     assert rows[2][:2] == b"P6"
     assert rows[6][:2] == b"P6"
     assert rows[1][:4] == b"RIFF"
-    # PNG round-trip inside the fixture: constant color v = doc_id % 251
-    m = decode_payload(rows[4])
-    assert m["mean_pixel"] == pytest.approx(4 % 251)
-    assert (m["width"], m["height"]) == (4 + 4 % 13, 3 + 4 % 7)
+    # Round-trip inside the fixture: constant color v = doc_id % 251,
+    # exact for all three image codecs (JPEG is DC-only under the
+    # all-ones quant tables, so even the lossy codec is exact here).
+    for d, kind in ((8, "image/jpeg"), (4, "image/png"), (2, "image/ppm")):
+        m = decode_payload(rows[d])
+        assert m["kind"] == kind
+        assert m["mean_pixel"] == pytest.approx(d % 251)
+        assert (m["width"], m["height"]) == (4 + d % 13, 3 + d % 7)
+
+
+# ------------------------------------------------- baseline JPEG codec
+# Reference behavior: ITU T.81 (baseline sequential DCT, Annex K
+# interchange Huffman tables) + JFIF YCbCr conversion. All assertions
+# are against independently-computed values (naive textbook DCT sums,
+# hand-derived DC-only blocks) — no external imaging library involved.
+
+
+def _jpeg_imports():
+    from mapreducecore_spark.llm import multimodal as mm
+
+    return mm
+
+
+def test_jpeg_constant_color_roundtrip_exact():
+    """A constant image is DC-only; with all-ones quant the coefficient
+    survives round() unchanged, so decode must reproduce the color
+    EXACTLY — the property the fixture oracle relies on."""
+    mm = _jpeg_imports()
+    for v in (0, 7, 93, 128, 250, 255):
+        for w, h in ((4, 3), (16, 9), (8, 8), (5, 11)):
+            payload = mm.encode_jpeg(w, h, bytes([v]) * (3 * w * h))
+            m = mm.decode_jpeg(payload)
+            assert (m["width"], m["height"]) == (w, h)
+            assert m["kind"] == "image/jpeg"
+            assert m["mean_pixel"] == float(v)
+
+
+def test_jpeg_gradient_roundtrip_bounded_error():
+    """Non-constant rasters exercise the AC run-length path end to end
+    (ZRL, EOB, every coefficient category). With all-ones quant the
+    only loss is coefficient rounding (|dF| <= 0.5 each), so pixels
+    must come back within a small bound — and NOT exactly, which would
+    indicate the AC path was silently skipped."""
+    mm = _jpeg_imports()
+    rng = np.random.default_rng(42)
+    saw_diff = False
+    for _ in range(4):
+        w, h = int(rng.integers(3, 24)), int(rng.integers(3, 24))
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        payload = mm.encode_jpeg(w, h, px.tobytes())
+        _, _, got = mm._jpeg_raster(payload)
+        err = np.abs(got.astype(int) - px.astype(int))
+        assert err.max() <= 3
+        saw_diff |= bool(err.any())
+    assert saw_diff  # lossy codec on noise: bit-exactness would be a bug
+
+
+def test_jpeg_dct_matrix_matches_textbook_definition():
+    """The encoder/decoder share _DCT_C; verify it against the naive
+    O(n^4) DCT-II double sum from the spec so a shared-matrix bug
+    cannot cancel out between encode and decode."""
+    mm = _jpeg_imports()
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-128, 127, (8, 8))
+    fast = mm._DCT_C @ x @ mm._DCT_C.T
+    naive = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = sum(
+                x[i, j]
+                * np.cos((2 * i + 1) * u * np.pi / 16)
+                * np.cos((2 * j + 1) * v * np.pi / 16)
+                for i in range(8)
+                for j in range(8)
+            )
+            naive[u, v] = 0.25 * cu * cv * s
+    np.testing.assert_allclose(fast, naive, atol=1e-9)
+
+
+def test_jpeg_zigzag_order_is_the_spec_sequence():
+    mm = _jpeg_imports()
+    # First and last entries of the canonical zigzag, per T.81 fig. 5.
+    expected_head = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4]
+    assert list(mm._ZZ_FLAT[:15]) == expected_head
+    assert list(mm._ZZ_FLAT[-3:]) == [55, 62, 63]
+    assert sorted(mm._ZZ_FLAT) == list(range(64))
+
+
+def test_jpeg_huffman_tables_are_canonical_and_prefix_free():
+    mm = _jpeg_imports()
+    for bits, vals, n in (
+        (mm._DC_LUMA_BITS, mm._DC_LUMA_VALS, 12),
+        (mm._DC_CHROMA_BITS, mm._DC_CHROMA_VALS, 12),
+        (mm._AC_LUMA_BITS, mm._AC_LUMA_VALS, 162),
+        (mm._AC_CHROMA_BITS, mm._AC_CHROMA_VALS, 162),
+    ):
+        assert sum(bits) == len(vals) == n
+        codes = mm._huffman_codes(bits, vals)
+        # Prefix-free: no code is a prefix of a longer one.
+        as_strings = sorted(
+            format(c, f"0{ln}b") for c, ln in codes.values()
+        )
+        for a, b in zip(as_strings, as_strings[1:]):
+            assert not b.startswith(a)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI + RSTn: predictors reset and the bit reader re-aligns at
+    every interval — wrong handling corrupts every block after the
+    first marker."""
+    mm = _jpeg_imports()
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (20, 25, 3)).astype(np.uint8)
+    for interval in (1, 2, 5):
+        payload = mm.encode_jpeg(25, 20, px.tobytes(), restart_interval=interval)
+        _, _, got = mm._jpeg_raster(payload)
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_jpeg_grayscale_single_component_scan():
+    mm = _jpeg_imports()
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (11, 13)).astype(np.uint8)
+    px = np.repeat(g[:, :, None], 3, axis=2)
+    payload = mm.encode_jpeg(13, 11, px.tobytes(), grayscale=True)
+    w, h, got = mm._jpeg_raster(payload)
+    assert (w, h) == (13, 11)
+    # Grayscale skips the chroma transform: only DCT rounding remains.
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 1
+
+
+def test_jpeg_nondefault_quant_tables_are_applied():
+    """Encode with a coarse quant table: the decoder must read the DQT
+    segment and multiply it back (ignoring it would shrink every pixel
+    toward 128)."""
+    mm = _jpeg_imports()
+    q = np.full((8, 8), 16, dtype=np.int64)
+    v = 200
+    payload = mm.encode_jpeg(8, 8, bytes([v]) * 192, quant_luma=q, quant_chroma=q)
+    m = mm.decode_jpeg(payload)
+    # DC = round(8*(200-128)/16) = 36; dequant 36*16 = 576; IDCT -> 72 + 128.
+    assert m["mean_pixel"] == pytest.approx(200.0)
+
+
+def test_jpeg_unsupported_shapes_raise_not_implemented():
+    """Progressive (SOF2) and subsampled chroma hit a loud seam, never
+    a silently-wrong raster."""
+    mm = _jpeg_imports()
+    payload = bytearray(mm.encode_jpeg(8, 8, bytes(192)))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        mm._jpeg_raster(bytes(payload))
+    payload = bytearray(mm.encode_jpeg(8, 8, bytes(192)))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 11] = 0x22  # luma sampling 2x2 => 4:2:0
+    with pytest.raises(NotImplementedError):
+        mm._jpeg_raster(bytes(payload))
+
+
+def test_jpeg_byte_stuffing_survives_0xff_entropy_bytes():
+    """Sweep enough distinct constant images that some entropy stream
+    contains a 0xFF byte needing a stuffed 0x00; every one must still
+    round-trip exactly."""
+    mm = _jpeg_imports()
+    stuffed = 0
+    for v in range(0, 256, 3):
+        payload = mm.encode_jpeg(9, 9, bytes([v]) * 243)
+        sos = payload.index(b"\xff\xda")
+        stuffed += payload.count(b"\xff\x00", sos)
+        assert mm.decode_jpeg(payload)["mean_pixel"] == float(v)
+    assert stuffed > 0
