@@ -86,15 +86,28 @@ def test_ann_lsh_recall_on_planted_neardups(spark):
     )
 
 
-def test_multimodal_decode_raises_for_entropy_coded_codec():
-    """PNG decodes for real since round 6; the seam now covers only
-    codecs needing entropy/transform libraries (JPEG etc.)."""
+def test_multimodal_decode_raises_for_unknown_codec():
+    """PNG and baseline JPEG decode for real since round 6; the seam
+    now covers only containers the engine has no decoder for at all
+    (MP3/H.264 and anything unrecognized)."""
     from mapreducecore_spark.llm.multimodal import decode_image, decode_payload
 
+    mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x00"
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF")
+        decode_image(mp3)
     with pytest.raises(NotImplementedError):
-        decode_payload(b"\xff\xd8\xff\xe0JFIF")
+        decode_payload(mp3)
+    # A JPEG variant outside the baseline-sequential scope must raise
+    # loudly too (SOF2 progressive), never decode silently wrong.
+    import struct
+
+    sof2 = (
+        b"\xff\xd8"
+        + struct.pack(">HH", 0xFFC2, 11)
+        + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(sof2)
 
 
 def test_ppm_codec_roundtrip_and_comments():
@@ -135,7 +148,12 @@ def test_multimodal_decode_query_inverts_synthesizer(spark, sf_dir):
     for r in rows:
         d = r["doc_id"]
         if d % 2 == 0:
-            assert r["kind"] == ("image/png" if d % 4 == 0 else "image/ppm")
+            expect = (
+                "image/jpeg" if d % 8 == 0
+                else "image/png" if d % 4 == 0
+                else "image/ppm"
+            )
+            assert r["kind"] == expect
             assert (r["width"], r["height"]) == (4 + d % 13, 3 + d % 7)
             assert r["mean_pixel"] == float(d % 251)
             assert r["sample_rate"] is None
