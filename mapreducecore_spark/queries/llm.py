@@ -183,8 +183,10 @@ def _minhash_band_pairs(docs: DataFrame) -> DataFrame:
     minimal-band emission of _emit_bucket_pairs produces the identical
     pair set with no pair-keyed exchange at all — the same redesign
     measured 8.0 -> 1.2 GB on the scorers)."""
+    rows, reps = _minhash_member_rows(docs, with_sets=False)
     return _emit_bucket_pairs(
-        _minhash_member_rows(docs, with_sets=False),
+        rows,
+        reps,
         lambda a: f"struct({a}.doc_id AS doc_a, m.doc_id AS doc_b)",
     )
 
@@ -773,20 +775,27 @@ def _scored_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS est_jaccard_raw)"
         )
 
-    return _emit_bucket_pairs(_minhash_member_rows(docs, with_sets=True), score)
+    rows, reps = _minhash_member_rows(docs, with_sets=True)
+    return _emit_bucket_pairs(rows, reps, score)
 
 
-def _minhash_member_rows(docs: DataFrame, with_sets: bool) -> DataFrame:
-    """(band_id, sig, width, m): one row per (doc, band), where m is
-    the member struct carrying the doc's signature vector plus its
-    four per-band bucket widths and representatives (and, with_sets,
-    its hashed shingle set + size for the exact scorers) and width is
-    this band's bucket width. _emit_bucket_pairs collects ONLY the
-    small buckets into array rows; oversized buckets stay as rows (a
-    window supplies the representative), so no single row ever holds
-    more than two shingle sets regardless of cluster size (ADVICE r5:
-    the previous shape collected a 3000-doc exact-dup cluster's entire
-    hs payload — ~1.2 MB, unbounded in cluster size — into one row).
+def _minhash_member_rows(
+    docs: DataFrame, with_sets: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (rows, reps). rows = (band_id, sig, width, m): one row
+    per (doc, band), where m is the member struct carrying the doc's
+    signature vector plus its four per-band bucket widths and
+    representatives (and, with_sets, its hashed shingle set + size for
+    the exact scorers) and width is this band's bucket width. reps =
+    (band_id, sig, rep): the representative member's full payload for
+    each OVERSIZED bucket only, built by broadcasting the narrow
+    widths pre-pass against the checkpointed per-doc payloads.
+    _emit_bucket_pairs collects ONLY the small buckets into array
+    rows; oversized buckets stay as rows (the reps join supplies the
+    representative), so no single row ever holds more than two shingle
+    sets regardless of cluster size (ADVICE r5: the previous shape
+    collected a 3000-doc exact-dup cluster's entire hs payload —
+    ~1.2 MB, unbounded in cluster size — into one row).
     The width/rep pre-pass rows are narrow (ids + sig string)."""
     sh = (
         docs.filter(F.expr("size(toks) >= 3"))
@@ -846,7 +855,7 @@ def _minhash_member_rows(docs: DataFrame, with_sets: bool) -> DataFrame:
             F.expr("transform(array_sort(wr), x -> x.rep)").alias("reps"),
         )
     )
-    return (
+    rows = (
         per_doc.join(band_meta, "doc_id")
         .select(F.explode(band_structs).alias("b"), member.alias("m"))
         .select(
@@ -856,6 +865,25 @@ def _minhash_member_rows(docs: DataFrame, with_sets: bool) -> DataFrame:
             "m",
         )
     )
+    # Representative payloads for the oversized buckets, built from the
+    # NARROW widths pre-pass (one bucket-key row per giant bucket) and
+    # joined back against the checkpointed per_doc payloads — so the
+    # star branch of _emit_bucket_pairs never sorts or windows the wide
+    # member rows. Broadcasting the filtered widths is safe: its rows
+    # are (ids + sig string) and a corpus only has a >200-wide bucket
+    # per giant dup cluster — bounded by n_docs / _MINHASH_MAX_BUCKET
+    # even adversarially, and the broadcast carries no payload.
+    big_buckets = F.broadcast(
+        widths.filter(F.col("bw") > _MINHASH_MAX_BUCKET).select(
+            "band_id", "sig", F.col("rep").alias("rep_doc")
+        )
+    )
+    reps = (
+        per_doc.join(band_meta, "doc_id")
+        .join(big_buckets, F.col("doc_id") == F.col("rep_doc"))
+        .select("band_id", "sig", member.alias("rep"))
+    )
+    return rows, reps
 
 
 def _emit_sql(left: str) -> str:
@@ -883,7 +911,7 @@ def _emit_sql(left: str) -> str:
 
 
 def _emit_bucket_pairs(
-    rows: DataFrame, pair_struct_sql: Callable[[str], str]
+    rows: DataFrame, reps: DataFrame, pair_struct_sql: Callable[[str], str]
 ) -> DataFrame:
     """Generate every guarded candidate pair exactly once from the
     member-row frame, projecting each through `pair_struct_sql(left)`
@@ -894,13 +922,18 @@ def _emit_bucket_pairs(
     one sorted array row and emit their clique pairs inside a single
     higher-order expression, so non-surviving pairs never materialize
     a row. Oversized buckets (giant exact-dup clusters) are NEVER
-    collected: their rows keep flowing and a window first() over the
-    same (band_id, sig) key supplies the representative struct, so
-    star pairs are emitted row-by-row with exactly two member payloads
-    per row — bounded executor memory for arbitrarily large clusters
-    (ADVICE r5; the window reuses the bucket key's hash partitioning,
-    so this adds a sort but no extra exchange over the collect it
-    replaces)."""
+    collected: their rows keep flowing and a shuffle-hash join against
+    the tiny `reps` frame (one representative payload per giant
+    bucket, built narrow inside _minhash_member_rows) supplies the
+    representative struct, so star pairs are emitted row-by-row with
+    exactly two member payloads per row — bounded executor memory for
+    arbitrarily large clusters (ADVICE r5). The shuffle-hash hint
+    matters: a sort-merge join would re-sort the wide star rows, which
+    is exactly the cost this shape exists to avoid (the round-6
+    window-first() variant measured 108.9 s / 5.01 per decade on the
+    keeper at the 100x replicate sweep vs 3.68 for the collect it
+    replaced — the sort of 30k-row star buckets carrying shingle-set
+    payloads was the regression)."""
     buckets = (
         rows.filter(F.col("width") <= _MINHASH_MAX_BUCKET)
         .groupBy("band_id", "sig")
@@ -914,10 +947,9 @@ def _emit_bucket_pairs(
     clique = buckets.filter(F.size("ms") >= 2).select(
         F.explode(F.expr(clique_pairs)).alias("p")
     )
-    w = Window.partitionBy("band_id", "sig").orderBy(F.col("m.doc_id"))
     star = (
         rows.filter(F.col("width") > _MINHASH_MAX_BUCKET)
-        .select("band_id", "sig", "m", F.first("m").over(w).alias("rep"))
+        .join(reps.hint("shuffle_hash"), ["band_id", "sig"])
         .filter(F.expr(f"m.doc_id <> rep.doc_id AND {_emit_sql('rep')}"))
         .select(F.expr(pair_struct_sql("rep")).alias("p"))
     )
