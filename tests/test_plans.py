@@ -280,6 +280,21 @@ def test_minhash_pairs_bucket_collect_no_pair_exchange(spark, sf_dir):
             )
 
 
+def test_minhash_star_branch_is_reps_join_not_window(spark, sf_dir):
+    """Round-6 star-path shape: oversized buckets obtain their
+    representative payload via a shuffle-hash join against the tiny
+    reps frame — never a window/sort over the wide member rows (the
+    window variant re-sorted shingle-set payloads per giant bucket and
+    measured 5.01/decade on the keeper at the 100x replicate sweep)
+    and never a collect of the whole bucket into one array row
+    (unbounded executor memory). The hint must survive planning: a
+    sort-merge join here re-sorts the wide side, which is the exact
+    cost the shape exists to avoid."""
+    plan = plan_of(REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, f"reps join lost its shuffle_hash hint:\n{plan[:2000]}"
+    assert "Window" not in plan, "a window resurfaced in the pair-generation plan"
+
+
 def test_jaccard_df_cap_window_precedes_join(spark, sf_dir):
     """The df-cap window keys on `shingle` — the same key the
     inverted-index equi-join uses — and the join is never cartesian."""
