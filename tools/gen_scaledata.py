@@ -74,7 +74,7 @@ FACTS = {
         SELECT 900000000000000 + i AS doc_id,
                {planted_text} AS text,
                'en' AS lang, 'planted' AS source, 79 AS n_chars
-        FROM (SELECT unnest(range(30 * {copies})) AS i)
+        FROM (SELECT unnest(range(30 * {c_lo}, 30 * {c_hi})) AS i)
     """,
     "embeddings": """
         SELECT vec_id + c * {off} AS vec_id, embedding, label
@@ -91,7 +91,6 @@ FACTS = {
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW copies AS SELECT unnest(range({COPIES})) AS c")
     for t in COPY_AS_IS:
         con.execute(
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
@@ -117,15 +116,42 @@ def main() -> None:
             "'planted giant duplicate cluster text shared verbatim by every"
             " member document'"
         )
+    # SCALE_CHUNK > 0 streams each fact table out in chunks of that
+    # many copies, one parquet FILE per chunk inside a <table>.parquet
+    # DIRECTORY (Spark and DuckDB both read the directory natively).
+    # Needed above ~100 copies: DuckDB buffers a whole COPY result, and
+    # the clusters-mode regexp over documents at 1000 copies exhausted
+    # a 128 GB box before the single-file write ever started.
+    chunk = int(os.environ.get("SCALE_CHUNK", "0"))
     for t, sql in FACTS.items():
         con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{SRC}/{t}.parquet'")
-        q = sql.format(
-            off=OFF, copies=COPIES, text_expr=text_expr, planted_text=planted_text
+        spans = (
+            [(lo, min(lo + chunk, COPIES)) for lo in range(0, COPIES, chunk)]
+            if chunk
+            else [(0, COPIES)]
         )
-        con.execute(
-            f"COPY ({q}) TO '{DST}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)"
-        )
-        n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+        for c_lo, c_hi in spans:
+            con.execute(
+                "CREATE OR REPLACE VIEW copies AS "
+                f"SELECT unnest(range({c_lo}, {c_hi})) AS c"
+            )
+            q = sql.format(
+                off=OFF,
+                c_lo=c_lo,
+                c_hi=c_hi,
+                text_expr=text_expr,
+                planted_text=planted_text,
+            )
+            if chunk:
+                os.makedirs(f"{DST}/{t}.parquet", exist_ok=True)
+                out = f"{DST}/{t}.parquet/part-{c_lo:05d}.parquet"
+            else:
+                out = f"{DST}/{t}.parquet"
+            con.execute(
+                f"COPY ({q}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)"
+            )
+        n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet/*.parquet'" if chunk
+                    else f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
 
