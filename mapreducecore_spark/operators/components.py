@@ -48,12 +48,16 @@ def connected_components(
     are returned (isolated docs are their own trivial component and
     need no row).
 
-    n_partitions sizes every shuffle in the loop (default: the
-    session's default parallelism, floor 8). Round 1 propagates one
-    message per edge, so the loop wants the full shuffle width —
-    narrower settings measurably serialized the round-1 groupBy at the
-    100x sweep (8 -> 32 partitions: 71 s -> ~60 s on the same graph);
-    per-round task overhead on small graphs is noise by comparison.
+    n_partitions sizes every shuffle in the loop (default: edge-count-
+    scaled — ~1.5M symmetric edge rows per partition, floored at the
+    session's default parallelism / 8, capped at 2048). Round 1
+    propagates one message per edge, so the loop wants the full shuffle
+    width — narrower settings measurably serialized the round-1 groupBy
+    at the 100x sweep (8 -> 32 partitions: 71 s -> ~60 s on the same
+    graph) — and the width must GROW with the graph: explicit
+    repartition(N, key) is invisible to AQE, and the round-6
+    three-decade sweep showed fixed-width loop shuffles go spill-bound
+    in the third decade.
 
     Durability: per-round `materialize` is `localCheckpoint` — executor
     block storage, fast but NOT fault-tolerant (an executor loss drops
@@ -76,8 +80,6 @@ def connected_components(
     uninterrupted run (asserted in tests/test_graph_ops.py).
     """
     spark = pairs.sparkSession
-    if n_partitions is None:
-        n_partitions = max(8, spark.sparkContext.defaultParallelism)
     if reliable_checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
 
@@ -99,6 +101,18 @@ def connected_components(
     # and each round exchanges only the (small) frontier and the
     # propagated messages.
     pairs = materialize(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    if n_partitions is None:
+        # Explicit repartition(N, key) is a HARD width AQE cannot
+        # rescale, so N must track the data: the round-6 three-decade
+        # sweep showed fixed-width loop shuffles go spill-bound once
+        # per-task data outgrows execution memory. ~1.5M symmetric
+        # edge rows/partition ≈ 50 MB/task; count() on the just-
+        # materialized pairs frame is a cached-block scan, not a
+        # recompute. Floor keeps small graphs at full parallelism.
+        n_edges = 2 * pairs.count()
+        n_partitions = min(
+            2048, max(8, spark.sparkContext.defaultParallelism, n_edges // 1_500_000)
+        )
     edges = (
         pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(n_partitions, "u")

@@ -65,7 +65,7 @@ def spread(df, min_parts: int = 16):
     return df
 
 
-def materialize(df):
+def materialize(df, big: bool = False):
     """Compute once, reuse across self-join branches.
 
     A DataFrame referenced on both sides of a join is otherwise fully
@@ -77,5 +77,19 @@ def materialize(df):
     for persist(StorageLevel.MEMORY_AND_DISK) + reliable checkpoint if
     executor loss must be survivable (localCheckpoint blocks are not
     fault-tolerant).
+
+    big=True stores the blocks DISK_ONLY. Default MEMORY_AND_DISK
+    blocks occupy unified memory that `spark.memory.storageFraction`
+    PROTECTS from eviction, so a corpus-sized frame (the exploded
+    shingle index at the 1000x sweep) pins ~half the pool and starves
+    every downstream hash aggregate — the three-decade sweep measured
+    UNABLE_TO_ACQUIRE_MEMORY crashes from exactly this. A frame that
+    is read back once per consuming branch loses nothing measurable
+    from disk residency; memory caching only ever helped the small
+    scales where it doesn't matter.
     """
+    if big:
+        from pyspark import StorageLevel
+
+        return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     return df.localCheckpoint(eager=False)

@@ -579,7 +579,9 @@ _JACCARD_ORACLE = f"""
       SELECT MIN(doc_id) AS doc_id, {_TOKS_DUCK} AS toks
       FROM documents GROUP BY text
     ), sh AS (
-      SELECT doc_id, unnest({_shingles_duck(4)}) AS shingle
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest({_shingles_duck(4)})), 1, 15)) AS BIGINT)
+               AS shingle
       FROM docs WHERE len(toks) >= 4
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
@@ -615,23 +617,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       cluster otherwise emits C(k,2) jaccard=1.0 pairs from shingles
       each copy shares — quadratic in k, and a df cap cannot catch it
       because each such shingle's df tracks k. Expand through the
-      dedup_exact table when per-copy pairs are needed.
+      dedup_exact table when per-copy pairs are needed. The collapse
+      aggregates by md5(text) + a semi-join back, NOT groupBy(text):
+      a text-keyed partial-agg hash map holds every distinct document
+      in the task's split in memory and was the first
+      UNABLE_TO_ACQUIRE_MEMORY crash site of the 1000x three-decade
+      sweep; hash keys make the map 24 B/doc and let the text payload
+      ride the spill-safe semi-join shuffle instead.
     - hot shingles (df > _JACCARD_DF_CAP) are dropped before the join
       so no single boilerplate shingle can emit a quadratic pair set —
       the df window pass shuffles on the same `shingle` key the join
-      uses."""
+      uses. Shingles are carried as the same 60-bit md5 ints the
+      minhash stage uses (oracle mirrors, so parity is by
+      construction): long keys halve the materialized index and make
+      the df window's sort and the self-join comparisons fixed-width.
+      The index is DISK_ONLY (materialize(big=True)) — corpus-sized
+      blocks must not pin protected storage memory away from the
+      downstream aggregates."""
     t = load_tables(spark, sf_dir)
-    docs = (
-        spread(t["documents"])
-        .groupBy("text")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .selectExpr("doc_id", f"{_TOKS} AS toks")
+    all_docs = spread(t["documents"])
+    keepers = all_docs.groupBy(F.md5("text").alias("th")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs = all_docs.join(keepers.select("doc_id"), "doc_id", "left_semi").selectExpr(
+        "doc_id", f"{_TOKS} AS toks"
     )
     sh = (
         docs.filter(F.expr("size(toks) >= 4"))
         .selectExpr("doc_id", f"explode({_shingles_expr(4)}) AS shingle")
+        .selectExpr(
+            "doc_id",
+            "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS shingle",
+        )
     )
-    sh = materialize(sh)  # reused by sizes + df pass + both join branches
+    sh = materialize(sh, big=True)  # reused by sizes + df pass + both join branches
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     ws = Window.partitionBy("shingle")
     rare = (
@@ -814,12 +833,16 @@ def _minhash_member_rows(
         *[F.min(F.expr(_mh_formula("h", s))) for s in range(_MINHASH_SEEDS)]
     ).alias("mhs")
     if with_sets:
+        # big=True: the hs arrays make this frame corpus-sized, and
+        # default-storage blocks would pin protected storage memory
+        # against the downstream bucket aggregates (1000x sweep).
         per_doc = materialize(
             sh.groupBy("doc_id")
             .agg(F.collect_set("h").alias("hs"), mhs_agg)
             .select(
                 "doc_id", "hs", F.size("hs").cast("bigint").alias("n_sh"), "mhs"
-            )
+            ),
+            big=True,
         )
         member = F.struct("doc_id", "hs", "n_sh", "mhs", "bws", "reps")
     else:

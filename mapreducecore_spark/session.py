@@ -37,6 +37,21 @@ RUNTIME_CONFS: dict[str, str] = {
     # test scale. (Batch queries are unaffected in practice — AQE
     # coalesces either way. At cluster scale raise via get_spark.)
     "spark.sql.shuffle.partitions": "32",
+    # With AQE on, the BATCH shuffle width actually used is
+    # initialPartitionNum coalesced DOWN to advisory size — so the 32
+    # above must not double as the ceiling for large shuffles. The
+    # round-6 three-decade sweep (1000x clusters corpus) caught exactly
+    # that: the Jaccard scorers pushed a linear-in-data 19 GB shuffle
+    # through 32 fixed partitions (600 MB/task), went spill-bound
+    # (5.7-6.0/decade vs <=4 at 100x), and dedup_candidate_recall's
+    # hash aggregate died with UNABLE_TO_ACQUIRE_MEMORY at default 8g
+    # heap. Starting shuffles wide and letting AQE coalesce makes the
+    # width data-adaptive: sf0.001 tests still run a handful of reduce
+    # tasks, the 1000x corpus gets ~75 MB/task. On a real cluster this
+    # number scales with executor count (env-tunable).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": os.environ.get(
+        "SPARK_GRAFT_INITIAL_SHUFFLE", "256"
+    ),
 }
 
 
