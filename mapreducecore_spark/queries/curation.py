@@ -190,10 +190,16 @@ def _sem_assign(e: DataFrame, vcodes: DataFrame, c: DataFrame) -> DataFrame:
     ccodes = add_lsh_codes(
         c.select(F.col("centroid_id"), F.col("c_emb").alias("emb"))
     ).select("centroid_id", "tbl", "code")
+    # big=True on every corpus-scaled frame in the loop: K grows with
+    # the corpus, so cand/scored are n x ~124 rows — memory-resident
+    # checkpoint blocks pinned protected storage and killed the 1000x
+    # sweep's aggregates with AGGREGATE_OUT_OF_MEMORY (same failure
+    # family as the jaccard index; see BASELINE.md round-6 notes).
     cand = materialize(
         vcodes.join(F.broadcast(ccodes), ["tbl", "code"])
         .select("vec_id", "centroid_id")
-        .distinct()
+        .distinct(),
+        big=True,
     )
     fallback = (
         e.select("vec_id")
@@ -204,7 +210,8 @@ def _sem_assign(e: DataFrame, vcodes: DataFrame, c: DataFrame) -> DataFrame:
     scored = materialize(
         cand_all.join(e.select("vec_id", "emb"), "vec_id")
         .join(F.broadcast(c), "centroid_id")
-        .selectExpr("vec_id", "centroid_id", f"{_D2_SPARK} AS d2")
+        .selectExpr("vec_id", "centroid_id", f"{_D2_SPARK} AS d2"),
+        big=True,
     )
     best = scored.groupBy("vec_id").agg(F.min("d2").alias("d2"))
     return (
@@ -286,7 +293,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emb",
         "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm",
     )
-    e = materialize(e)
+    e = materialize(e, big=True)  # corpus-sized embedding frame
     # Single driver-side scalar (accepted pattern, cf. pipeline.py
     # n_docs): K must be known to pick the centroid set.
     n_vecs = t["embeddings"].count()
@@ -304,7 +311,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = materialize(
         _sem_assign(e, vcodes, c)
         .join(e, "vec_id")
-        .select("vec_id", "centroid_id", "emb", "nrm")
+        .select("vec_id", "centroid_id", "emb", "nrm"),
+        big=True,
     )
     a = assigned.selectExpr(
         "vec_id AS id_a", "centroid_id", "emb AS emb_a", "nrm AS nrm_a"

@@ -542,21 +542,34 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document. Three aggregates over the token
     explosion — term frequency (keyed by doc), document frequency
     (keyed by token, map-side partials collapse each partition to its
-    distinct tokens), and the corpus count as a broadcast scalar. The
-    df table is vocabulary-sized — broadcast it, never shuffle the
-    corpus-sized tf side."""
+    distinct tokens), and the corpus count as a driver scalar. The
+    tf ⋈ df join carries NO broadcast hint on purpose: vocabulary is
+    NOT bounded — it grows with the corpus (Heaps' law; the 1000x
+    clusters sweep grew it ~1000x and a forced broadcast(df) killed
+    the JVM with a hard heap OOM while collecting the vocab to the
+    driver). AQE converts the join to broadcast at runtime whenever
+    df is actually under the threshold, so small corpora still get
+    the broadcast plan without hard-coding an assumption that breaks
+    at scale."""
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"])
+    # Deliberately NOT materialized: the token explosion is
+    # corpus-sized, and BOTH storage forms of a checkpoint died at the
+    # 1000x sweep (memory blocks -> GC-thrash heap exhaustion; even
+    # DISK_ONLY OOMed inside the block serializer under 32 concurrent
+    # text-heavy scan tasks). Re-tokenizing once per consuming branch
+    # keeps each branch a pure streaming scan -> partial-agg pipeline
+    # with zero block storage — the regex split is cheap CPU next to
+    # any materialization of 150 rows/doc.
     toks = docs.selectExpr("doc_id", f"explode({_TOKS}) AS token")
-    toks = materialize(toks)
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = toks.select("doc_id", "token").distinct().groupBy("token").agg(
         F.count("*").alias("df")
     )
     n_docs = docs.count()  # driver scalar, same role as the oracle's CROSS JOIN n
-    scored = tf.join(F.broadcast(df), "token").select(
+    scored = tf.join(df, "token").select(
         "doc_id",
         "token",
         F.round(
