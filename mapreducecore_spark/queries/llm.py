@@ -571,7 +571,10 @@ def _collapsed_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # but cannot shrink the pair count. Shingles with df > _JACCARD_DF_CAP
 # are dropped BEFORE the join (standard MinHash/Jaccard practice);
 # |A| and |B| stay exact, so the reported jaccard is a lower bound that
-# undercounts only mass from corpus-ubiquitous shingles. Oracle mirrors.
+# undercounts only mass from corpus-ubiquitous shingles — a lower bound
+# in 60-bit md5 hash space, exact up to negligible (~n_sh^2/2^61)
+# cross-shingle hash collisions, which could only ever nudge it UP and
+# which both engines reproduce identically (ADVICE r6). Oracle mirrors.
 _JACCARD_DF_CAP = 128
 
 _JACCARD_ORACLE = f"""

@@ -200,8 +200,13 @@ def test_tfidf_df_join_has_no_forced_broadcast(spark, sf_dir):
     # broadcast at runtime when df is genuinely small, which the
     # executed adaptive plan demonstrates at this test's scale.
     df = REGISTRY["tfidf_top_terms"].fn(spark, sf_dir)
-    static = plan_of(df)
-    assert "ResolvedHint" not in static
+    # The hint check must read the ANALYZED plan (mode="extended"):
+    # hint nodes are erased before the physical plan that
+    # explain("formatted") prints, so asserting on the formatted output
+    # is vacuous — a reintroduced broadcast(df) would still pass
+    # (ADVICE r6). Verified empirically: a forced F.broadcast join
+    # shows "ResolvedHint" only in the extended output.
+    assert "ResolvedHint" not in plan_of(df, "extended")
     df.collect()  # finalize AQE
     final = plan_of(df, "simple")
     assert "isFinalPlan=true" in final
