@@ -73,10 +73,7 @@ def materialize(df, big: bool = False):
     dedup candidate generators that means running the expensive
     shingle/minhash/LSH stage twice. localCheckpoint stores the computed
     partitions in executor block storage and truncates lineage, so both
-    branches read the same materialized blocks. At cluster scale swap
-    for persist(StorageLevel.MEMORY_AND_DISK) + reliable checkpoint if
-    executor loss must be survivable (localCheckpoint blocks are not
-    fault-tolerant).
+    branches read the same materialized blocks.
 
     big=True stores the blocks DISK_ONLY. Default MEMORY_AND_DISK
     blocks occupy unified memory that `spark.memory.storageFraction`
@@ -87,9 +84,29 @@ def materialize(df, big: bool = False):
     is read back once per consuming branch loses nothing measurable
     from disk residency; memory caching only ever helped the small
     scales where it doesn't matter.
-    """
-    if big:
-        from pyspark import StorageLevel
 
+    CLUSTER MODE (VERDICT r6 #6): localCheckpoint blocks are NOT
+    executor-loss-safe — on a real cluster a lost executor loses its
+    blocks AND the truncated lineage needed to recompute them. Set
+    SPARK_GRAFT_RELIABLE_CHECKPOINT=<dir> (an HDFS/S3/shared path) to
+    swap in persist + RELIABLE checkpoint(): partitions are persisted
+    (so the checkpoint write doesn't recompute them), written durably
+    to the checkpoint dir, and survive executor loss. big maps to
+    DISK_ONLY persistence for the same protected-storage reason. The
+    env gate keeps local runs on the cheaper block-storage path;
+    tests/test_reliable_materialize.py runs the dedup flagship
+    end-to-end under the reliable mode.
+    """
+    import os
+
+    from pyspark import StorageLevel
+
+    level = StorageLevel.DISK_ONLY if big else StorageLevel.MEMORY_AND_DISK
+    ckpt_dir = os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(ckpt_dir)
+        return df.persist(level).checkpoint(eager=False)
+    if big:
         return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     return df.localCheckpoint(eager=False)

@@ -92,27 +92,59 @@ _PAIR_COS_DUCK = (
 
 _SEM_TRAIN_ITERS = 2  # Lloyd iterations before the prune (Abbas et al.)
 
+# Lloyd TRAINS on a deterministic md5 hash-sample (~1/4) of the corpus
+# (VERDICT r6 #1): with K ~ n/250 the full-corpus training pass costs
+# n x candidates PER ROUND, so the 2 training rounds were ~2/3 of the
+# 1000x wall (1351 s). Centroid quality needs only a representative
+# sample (~62 sampled members per cluster at the n/250 K) — standard
+# k-means practice — while the FINAL assignment and the prune still
+# see every vector, so coverage is exact. The sample is the md5-prefix
+# idiom (same as sample_deterministic_hash): engine-agnostic,
+# reproducible, pure map-side; the oracle trains on the identical
+# subset so the trained centroids stay bit-identical cross-engine.
+#
+# Sampling only kicks in at n >= _SEM_TRAIN_SAMPLE_MIN_N: below it the
+# empty-cluster-drop rule would collapse the codebook (a 12-vector
+# crafted corpus samples ~2 training vectors against K=8 seeds), and
+# tiny corpora gain nothing from a 4x training cut. The threshold is
+# mirrored in the oracle as a scalar COUNT(*) subquery, so both
+# engines flip branches on exactly the same corpus size; 300 puts the
+# driver's sf0.01 run (500 vectors) on the SAMPLED branch — the branch
+# that matters at scale is the value-attested one — while the crafted
+# and numpy-differential tests (12/80 vectors) keep exact full-corpus
+# training.
+_SEM_TRAIN_SAMPLE_MIN_N = 300
+_SEM_TRAIN_SAMPLE_SPARK = (
+    "substring(md5(CAST(vec_id AS STRING)), 1, 1) IN ('0', '1', '2', '3')"
+)
+_SEM_TRAIN_SAMPLE_DUCK = (
+    "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')"
+)
 
-def _sem_assign_ctes(tag: str, cents: str) -> str:
-    """One LSH-pruned assignment round against centroid CTE `cents`:
+
+def _sem_assign_ctes(tag: str, cents: str, src: str = "e", codes: str = "vcodes") -> str:
+    """One LSH-pruned assignment round against centroid CTE `cents`,
+    assigning the vectors of CTE `src` (with LSH codes in `codes`):
     candidate buckets -> full-argmin fallback -> two-phase MIN argmin.
-    Mirrors the Spark _sem_assign helper CTE-for-stage."""
+    Mirrors the Spark _sem_assign helper CTE-for-stage. Training rounds
+    pass src="es"/codes="vscodes" (the hash-sampled training subset);
+    the final assignment passes the full-corpus defaults."""
     return f"""
     cc{tag} AS MATERIALIZED (SELECT centroid_id, {duck_tables_select("c_emb")} FROM {cents}),
     cand{tag} AS MATERIALIZED (
       SELECT DISTINCT v.vec_id, cc.centroid_id
-      FROM vcodes v JOIN cc{tag} cc USING (tbl, code)
+      FROM {codes} v JOIN cc{tag} cc USING (tbl, code)
     ),
     ca{tag} AS MATERIALIZED (
       SELECT vec_id, centroid_id FROM cand{tag}
       UNION ALL
-      SELECT e.vec_id, c.centroid_id FROM e CROSS JOIN {cents} c
+      SELECT e.vec_id, c.centroid_id FROM {src} e CROSS JOIN {cents} c
       WHERE e.vec_id NOT IN (SELECT vec_id FROM cand{tag})
     ),
     sc{tag} AS MATERIALIZED (
       SELECT a.vec_id, a.centroid_id, {_D2_DUCK} AS d2
       FROM ca{tag} a
-      JOIN e ON e.vec_id = a.vec_id
+      JOIN {src} e ON e.vec_id = a.vec_id
       JOIN {cents} c ON c.centroid_id = a.centroid_id
     ),
     bs{tag} AS MATERIALIZED (SELECT vec_id, MIN(d2) AS d2 FROM sc{tag} GROUP BY vec_id),
@@ -129,13 +161,13 @@ def _semdedup_oracle(iters: int) -> str:
     update), final assignment, intra-cluster cosine prune."""
     blocks = []
     for i in range(iters):
-        blocks.append(_sem_assign_ctes(str(i), f"c{i}"))
+        blocks.append(_sem_assign_ctes(str(i), f"c{i}", src="es", codes="vscodes"))
         blocks.append(f"""
     u{i} AS MATERIALIZED (
       SELECT centroid_id, idx, emb[idx] AS val FROM (
         SELECT a.centroid_id, e.emb,
                unnest(generate_series(1, len(e.emb))) AS idx
-        FROM asg{i} a JOIN e ON e.vec_id = a.vec_id)
+        FROM asg{i} a JOIN es e ON e.vec_id = a.vec_id)
     ),
     c{i + 1} AS MATERIALIZED (
       SELECT centroid_id, c_emb, list_inner_product(c_emb, c_emb) AS c_norm2
@@ -161,6 +193,12 @@ def _semdedup_oracle(iters: int) -> str:
            FROM e
            QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM k)),
     vcodes AS MATERIALIZED (SELECT vec_id, {duck_tables_select("emb")} FROM e),
+    es AS MATERIALIZED (
+      SELECT * FROM e
+      WHERE (SELECT COUNT(*) FROM e) < {_SEM_TRAIN_SAMPLE_MIN_N}
+         OR {_SEM_TRAIN_SAMPLE_DUCK}),
+    vscodes AS MATERIALIZED (
+      SELECT v.* FROM vcodes v JOIN es USING (vec_id)),
     {",".join(blocks)},
     {_sem_assign_ctes("f", f"c{iters}")},
     pruned AS (
@@ -263,10 +301,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     r3), then _SEM_TRAIN_ITERS Lloyd rounds reuse the ann_ivf_trained
     loop shape on squared-Euclidean argmin (assign via the LSH-pruned
     helper below, mean update in DECIMAL so both engines see
-    bit-identical centroids). Training tightens clusters — measured
-    intra-cluster mean d2 drops vs the seeded codebook
-    (tests/test_round3_ops.py) — which is what bounds the prune
-    stage's within-cluster pair count.
+    bit-identical centroids). Above _SEM_TRAIN_SAMPLE_MIN_N vectors the
+    Lloyd rounds train on a DETERMINISTIC ~1/4 md5 hash-sample of the
+    corpus (VERDICT r6 #1): training cost drops 4x per round while
+    every vector still gets a final assignment and prune pass —
+    clusters whose sampled membership is empty drop out of the
+    codebook identically on both engines. Training tightens
+    clusters — measured intra-cluster mean d2 drops vs the seeded
+    codebook (tests/test_round3_ops.py) — which is what bounds the
+    prune stage's within-cluster pair count.
 
     Scale shape: the K centroids broadcast every round (argmin is a
     codegen'd fold per row, big side never shuffles for assignment);
@@ -306,8 +349,19 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS c_norm2",
     )
     vcodes = add_lsh_codes(e.select("vec_id", "emb")).select("vec_id", "tbl", "code")
+    # Training set: deterministic ~1/4 md5 hash-sample above the
+    # corpus-size threshold (see _SEM_TRAIN_SAMPLE_* above). Only the
+    # Lloyd rounds shrink; the final assignment and the prune below
+    # still run over e/vcodes. n_vecs is already on the driver, so the
+    # branch costs nothing extra; the oracle mirrors it via a scalar
+    # COUNT(*) subquery.
+    if n_vecs >= _SEM_TRAIN_SAMPLE_MIN_N:
+        es = materialize(e.filter(F.expr(_SEM_TRAIN_SAMPLE_SPARK)), big=True)
+        vscodes = vcodes.filter(F.expr(_SEM_TRAIN_SAMPLE_SPARK))
+    else:
+        es, vscodes = e, vcodes
     for _ in range(_SEM_TRAIN_ITERS):
-        c = _sem_mean_update(_sem_assign(e, vcodes, c), e)
+        c = _sem_mean_update(_sem_assign(es, vscodes, c), es)
     assigned = materialize(
         _sem_assign(e, vcodes, c)
         .join(e, "vec_id")

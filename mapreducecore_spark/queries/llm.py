@@ -117,9 +117,13 @@ def _mh_formula(h_expr: str, seed: int) -> str:
 _MINHASH_MAX_BUCKET = 200
 
 # The shared docs -> shingles -> minhash -> bands -> annotated-bucket
-# CTE chain (DuckDB side of _minhash_banded).
-_MINHASH_BANDED_DUCK = f"""docs AS (
-      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+# CTE chain (DuckDB side of _minhash_banded). Parameterized by the
+# source relation so the recall eval can run it over the hash-sampled
+# sdocs CTE (VERDICT r6 #4); `documents` keeps every existing oracle
+# byte-identical.
+def _minhash_banded_duck(src: str = "documents") -> str:
+    return f"""docs AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM {src}
     ), sh AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(unnest({_shingles_duck(3)})), 1, 15)) AS BIGINT) AS h
@@ -141,8 +145,13 @@ _MINHASH_BANDED_DUCK = f"""docs AS (
       FROM bands
     )"""
 
-_MINHASH_ORACLE = f"""
-    WITH {_MINHASH_BANDED_DUCK}
+
+_MINHASH_BANDED_DUCK = _minhash_banded_duck()
+
+
+def _minhash_oracle(src: str = "documents") -> str:
+    return f"""
+    WITH {_minhash_banded_duck(src)}
     SELECT DISTINCT doc_a, doc_b FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
@@ -153,6 +162,9 @@ _MINHASH_ORACLE = f"""
       WHERE bw > {_MINHASH_MAX_BUCKET} AND doc_id <> rep
     )
 """
+
+
+_MINHASH_ORACLE = _minhash_oracle()
 
 
 @register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
@@ -577,10 +589,11 @@ def _collapsed_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which both engines reproduce identically (ADVICE r6). Oracle mirrors.
 _JACCARD_DF_CAP = 128
 
-_JACCARD_ORACLE = f"""
+def _jaccard_oracle(src: str = "documents") -> str:
+    return f"""
     WITH docs AS (
       SELECT MIN(doc_id) AS doc_id, {_TOKS_DUCK} AS toks
-      FROM documents GROUP BY text
+      FROM {src} GROUP BY text
     ), sh AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(unnest({_shingles_duck(4)})), 1, 15)) AS BIGINT)
@@ -606,6 +619,9 @@ _JACCARD_ORACLE = f"""
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.4
 """
+
+
+_JACCARD_ORACLE = _jaccard_oracle()
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
@@ -638,7 +654,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       blocks must not pin protected storage memory away from the
       downstream aggregates."""
     t = load_tables(spark, sf_dir)
-    all_docs = spread(t["documents"])
+    return _jaccard_truth_pairs(spread(t["documents"]))
+
+
+def _jaccard_truth_pairs(all_docs: DataFrame) -> DataFrame:
+    """The exact-Jaccard pair pipeline over an arbitrary
+    (doc_id, text) frame — shared by the full-corpus enumerator above
+    and the hash-sampled recall eval (dedup_candidate_recall), which
+    passes a deterministically sampled subset so the truth side's cost
+    no longer gates the eval (VERDICT r6 #4)."""
     keepers = all_docs.groupBy(F.md5("text").alias("th")).agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -982,9 +1006,26 @@ def _emit_bucket_pairs(
     return clique.unionByName(star).select("p.*")
 
 
+# The recall eval runs on a DETERMINISTIC ~1/2 sample of the corpus
+# (VERDICT r6 #4): the exact-Jaccard truth side is the one all-pairs-
+# shaped op in the repo, and computing it over the full corpus made
+# the EVAL inherit the enumerator's cost (5.3/decade at 1000x). The
+# sample keys on md5(TEXT), not doc_id, so every exact-dup class stays
+# whole (both pipelines collapse classes by md5(text); sampling by
+# doc_id could split a class and shift its min-doc_id representative,
+# breaking truth/candidate endpoint agreement). Recall over a random
+# half of the corpus estimates full recall: pair-level inclusion is
+# ~Bernoulli(1/4) i.i.d. across truth pairs, so the estimate's error
+# shrinks with truth-set size — agreement vs the full eval is measured
+# once at 100x in BASELINE.md. The full-truth enumerator stays
+# available as dedup_ngram_jaccard.
+_RECALL_SAMPLE_SPARK = "substring(md5(text), 1, 1) < '8'"
+_RECALL_SAMPLE_DUCK = "substr(md5(text), 1, 1) < '8'"
+
 _DEDUP_RECALL_ORACLE = f"""
-    WITH truth AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})),
-    cand AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+    WITH sdocs AS (SELECT * FROM documents WHERE {_RECALL_SAMPLE_DUCK}),
+    truth AS (SELECT doc_a, doc_b FROM ({_jaccard_oracle("sdocs")})),
+    cand AS (SELECT doc_a, doc_b FROM ({_minhash_oracle("sdocs")})),
     hit AS (
       SELECT t.doc_a, t.doc_b FROM truth t
       JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
@@ -1006,9 +1047,21 @@ def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. Honestly reflects the star-edge guard's trade: member-member
     pairs inside oversized buckets count against recall. Both pair sets
     are deterministic and SQL-expressible, so the METRIC itself is
-    value-checked cross-engine."""
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    value-checked cross-engine.
+
+    Both sides run over the SAME deterministic md5(text) half-sample
+    (see _RECALL_SAMPLE_* above): the generator's parameters are being
+    graded, and grading them on a reproducible half of the corpus
+    costs ~1/4 of the truth enumerator's pair work while estimating
+    the same recall — the sign-off workflow a 100 TB corpus actually
+    affords. Sampling by text hash keeps exact-dup classes whole, so
+    representatives agree between the two pipelines."""
+    t = load_tables(spark, sf_dir)
+    sdocs = spread(t["documents"]).filter(F.expr(_RECALL_SAMPLE_SPARK))
+    truth = _jaccard_truth_pairs(sdocs).select("doc_a", "doc_b")
+    cand = _minhash_band_pairs(
+        sdocs.selectExpr("doc_id", f"{_TOKS} AS toks")
+    ).select("doc_a", "doc_b")
     # Both sides are consumed twice (semi-join + count); materialize
     # BOTH so neither shingling pipeline re-executes.
     truth = materialize(truth)

@@ -248,6 +248,10 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- co-occurrence mining
 
+_BASKET_TOPM = 1024  # phase-A item pool that derives the support floor
+_BASKET_QUAL_CAP = 100_000  # largest qualifying-item set worth filtering with
+
+
 @register(
     "basket_part_pairs",
     oracle="""
@@ -280,32 +284,137 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by per-partition key count and spills gracefully. The trade —
     shuffling raw pair instances instead of map-side-combined counts —
     is the cardinality-robust choice for a pair-count report. Global
-    top-100 with a tie-proof order."""
+    top-100 with a tie-proof order.
+
+    Two round-7 exchange cuts (VERDICT r6 #3 — 18.4 GB pair exchange
+    at 1000x):
+
+    - PACKED pair key: when max(l_partkey) < 2^31 (checked from the
+      already-computed item-frequency frame, one scalar read) the pair
+      rides the exchange as ONE BIGINT `(part_a << 32) | part_b`
+      instead of a two-field row — 24 -> 16 bytes per unsafe row, and
+      (n_orders DESC, pk ASC) reproduces the (n DESC, part_a, part_b)
+      tie order exactly because the pack is order-isomorphic for
+      nonnegative sub-2^31 keys. Wider key domains keep the struct row.
+
+    - Broadcast MIN-SUPPORT pre-filter, provably lossless for the
+      top-100: a pair's order count is <= min(freq(a), freq(b)), so
+      every pair in the global top-100 has BOTH items' frequencies
+      >= c100 (the 100th-highest pair count). c100 is unknown up
+      front, but any 100 REAL pairs lower-bound it: phase A counts
+      pairs restricted to the _BASKET_TOPM most frequent items (an
+      in-row array_intersect against one broadcast array — no extra
+      basket exchange) and takes L = its 100th-highest count (L = 1
+      if phase A yields < 100 pairs). Since the true top-100 counts
+      dominate any other 100 pair counts element-wise, c100 >= L, so
+      dropping items with freq < L cannot drop a top-100 pair. On
+      uniform TPC-H (c100 = 2, every part in >= 11 orders) the filter
+      keeps everything and is SKIPPED (driver-side scalar check —
+      same accepted 1-row pattern as semdedup's n_vecs); on a skewed
+      real corpus, where a head of hot items dominates the top
+      pairs, L is large and the filter cuts the exchange itself."""
     t = load_tables(spark, sf_dir)
-    baskets = (
+    baskets = materialize(
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts")),
+        big=True,  # reused by freq, phase A, and the main pair pass
     )
-    pairs = baskets.filter(F.size("parts") >= 2).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (a, i) ->"
-                " transform(slice(parts, i + 2, size(parts)),"
-                " b -> struct(a AS part_a, b AS part_b))))"
+    freq = materialize(
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").alias("f"))
+    )
+    # Phase A: support floor from the top-M item pool. top_arr is one
+    # row carrying a sorted <=M-element array; array_intersect keeps
+    # the (sorted) order of its first argument, so pair generation
+    # reuses the same in-row expression.
+    top_arr = (
+        freq.orderBy(F.col("f").desc(), "part")
+        .limit(_BASKET_TOPM)
+        .agg(F.sort_array(F.collect_list("part")).alias("top_parts"))
+    )
+    pair_structs = (
+        "flatten(transform(parts, (a, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " b -> struct(a AS part_a, b AS part_b))))"
+    )
+    floor_row = (
+        baskets.crossJoin(F.broadcast(top_arr))
+        .select(F.array_intersect("parts", "top_parts").alias("parts"))
+        .filter(F.size("parts") >= 2)
+        .select(F.explode(F.expr(pair_structs)).alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "p.part_a", "p.part_b")
+        .limit(100)
+        .agg(
+            F.when(F.count("*") >= 100, F.min("n")).otherwise(F.lit(1)).alias("L")
+        )
+        .collect()
+    )
+    support_floor = int(floor_row[0]["L"] or 1)
+    stats = freq.agg(
+        F.count("*").alias("n_parts"),
+        F.count_if(F.col("f") >= support_floor).alias("n_qual"),
+        F.min("part").alias("min_part"),
+        F.max("part").alias("max_part"),
+    ).collect()[0]
+    src = baskets
+    if (
+        support_floor > 1
+        and stats["n_qual"] < stats["n_parts"]
+        and stats["n_qual"] <= _BASKET_QUAL_CAP
+    ):
+        qual = freq.filter(F.col("f") >= support_floor).select("part")
+        src = (
+            baskets.select(F.col("l_orderkey"), F.explode("parts").alias("part"))
+            .join(F.broadcast(qual), "part")
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("part")).alias("parts"))
+        )
+    src = src.filter(F.size("parts") >= 2)
+    # 2^31 bound (not 2^32): shiftleft(a, 32) of a >= 2^31 key would
+    # overflow signed 64-bit under ANSI, and the tie order needs pk
+    # nonnegative.
+    packable = stats["min_part"] >= 0 and stats["max_part"] < (1 << 31)
+    if packable:
+        pk_type = t["lineitem"].schema["l_partkey"].dataType
+        pairs = src.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (a, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " b -> shiftleft(CAST(a AS BIGINT), 32) + b)))"
+                )
+            ).alias("pk")
+        )
+        counted = (
+            pairs.repartition("pk").groupBy("pk").agg(F.count("*").alias("n_orders"))
+        )
+        # Global top-100 via orderBy+limit -> TakeOrderedAndProject:
+        # each partition keeps its local top-100, the driver merges
+        # heaps. A global row_number window would funnel every pair
+        # through ONE task.
+        return (
+            counted.orderBy(F.col("n_orders").desc(), "pk")
+            .limit(100)
+            .select(
+                F.shiftright("pk", 32).cast(pk_type).alias("part_a"),
+                (F.col("pk") % F.lit(1 << 32)).cast(pk_type).alias("part_b"),
+                "n_orders",
             )
-        ).alias("p")
-    ).select("p.part_a", "p.part_b")
-    pairs = (
+        )
+    pairs = src.select(F.explode(F.expr(pair_structs)).alias("p")).select(
+        "p.part_a", "p.part_b"
+    )
+    counted = (
         pairs.repartition("part_a", "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
     )
-    # Global top-100 via orderBy+limit -> TakeOrderedAndProject: each
-    # partition keeps its local top-100, the driver merges heaps. A
-    # global row_number window would funnel every pair through ONE task.
     return (
-        pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        counted.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(100)
         .select("part_a", "part_b", "n_orders")
     )
