@@ -16,11 +16,13 @@ from mapreducecore_spark.queries import REGISTRY, _PRIORITY, _load_all, all_quer
 
 WINDOW = 50
 
-# The round-6 window composition (VERDICT r5 #1): 8 flagship/streaming
-# keepers + the reshaped approx-percentile + the 30 never-attested
-# entries + multimodal_decode (output changed: PNG) + 10 re-certs of
-# the minhash/incremental-dedup family.
-ROUND6_REQUIRED = {
+# The round-7 window composition (VERDICT r6 #2): 8 flagship/streaming
+# keepers + the 7 queries reworked after their last green driver row
+# (r6 reworks: tfidf/semdedup/ngram-jaccard/components/weighted-sample;
+# r7 value-changing reworks: semdedup sampled training, candidate-recall
+# sampled truth, basket packed-key exchange) + 35 staleness refreshes
+# whose newest green row dated to r1/r2.
+ROUND7_REQUIRED = {
     # keepers
     "dedup_minhash_lsh",
     "dedup_neardup_keeper",
@@ -30,41 +32,14 @@ ROUND6_REQUIRED = {
     "stream_live_tumbling_counts",
     "stream_live_append_watermark",
     "stream_live_foreachbatch_sink",
-    # reshaped this round
-    "agg_approx_percentile",
-    "scalar_array_funcs2",
-    "scalar_array_funcs3",
-    "embedding_quantize_int8",
-    "multimodal_decode",
-    "multimodal_binary_dedup",
-    # the never-attested tail (30, minus the 3 already above)
-    "stream_live_dedup_within_watermark",
-    "quality_repetition_ratio",
-    "token_length_histogram",
-    "source_quality_profile",
-    "embedding_centroid_per_label",
+    # reworked after their last green row — must re-attest
+    "tfidf_top_terms",
+    "semdedup_prune",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "sample_weighted_by_source",
+    "dedup_candidate_recall",
     "basket_part_pairs",
-    "rolling_7d_distinct_users",
-    "kmeans_assign_seeded",
-    "layout_zorder_sort",
-    "bigram_lm_counts",
-    "decontam_neardup_minhash",
-    "mixture_sample_token_budget",
-    "scalar_string_funcs2",
-    "scalar_date_funcs2",
-    "scalar_bitwise_hash",
-    "scalar_struct_to_json",
-    "scalar_timestamp_diff",
-    "scalar_binary_funcs",
-    "scalar_date_funcs3",
-    "scalar_math_funcs2",
-    "orderby_nulls_first",
-    "unpivot_part_measures",
-    "incremental_daily_rollup",
-    "graph_pagerank_step",
-    "table_diff_rowhash",
-    "ann_cosine_quantized",
-    "json_dead_letter_split",
 }
 
 
@@ -78,10 +53,10 @@ def test_priority_has_no_duplicates():
     assert len(_PRIORITY) == len(set(_PRIORITY))
 
 
-def test_round6_window_membership():
+def test_round7_window_membership():
     window = set(list(all_queries())[:WINDOW])
-    missing = ROUND6_REQUIRED - window
-    assert not missing, f"declared round-6 entries fell out of the window: {missing}"
+    missing = ROUND7_REQUIRED - window
+    assert not missing, f"declared round-7 entries fell out of the window: {missing}"
 
 
 @pytest.mark.parametrize("sf_dir_fixture", ["sf_dir"])

@@ -37,6 +37,17 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/_scaledata/sf1"
 COPIES = int(os.environ.get("SCALE_COPIES", "10"))
 MODE = os.environ.get("SCALE_MODE", "replicate")  # replicate | clusters
+# SCALE_TABLES=documents,embeddings scales ONLY those fact tables and
+# symlinks the rest from SCALE_LINK_FROM (default: the source dir) —
+# the fourth-decade documents sweep needs a 3000x documents table but
+# not 33 GB of 3000x lineitem (load_tables opens every table's footer,
+# so the files must exist; the untouched ones need not be scaled).
+ONLY = {
+    t.strip()
+    for t in os.environ.get("SCALE_TABLES", "").split(",")
+    if t.strip()
+}
+LINK_FROM = os.environ.get("SCALE_LINK_FROM", "")
 
 OFF = 10_000_000_000  # key shift per copy; far above any real key
 
@@ -88,10 +99,21 @@ FACTS = {
 }
 
 
+def _link(t: str) -> None:
+    src = os.path.abspath(os.path.join(LINK_FROM or SRC, f"{t}.parquet"))
+    dst = os.path.join(DST, f"{t}.parquet")
+    if not os.path.exists(dst):
+        os.symlink(src, dst)
+    print(f"{t}: linked -> {src}")
+
+
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_AS_IS:
+        if ONLY and t not in ONLY:
+            _link(t)
+            continue
         con.execute(
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
         )
@@ -124,6 +146,9 @@ def main() -> None:
     # a 128 GB box before the single-file write ever started.
     chunk = int(os.environ.get("SCALE_CHUNK", "0"))
     for t, sql in FACTS.items():
+        if ONLY and t not in ONLY:
+            _link(t)
+            continue
         con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{SRC}/{t}.parquet'")
         spans = (
             [(lo, min(lo + chunk, COPIES)) for lo in range(0, COPIES, chunk)]
