@@ -228,16 +228,18 @@ def _sem_assign(e: DataFrame, vcodes: DataFrame, c: DataFrame) -> DataFrame:
     ccodes = add_lsh_codes(
         c.select(F.col("centroid_id"), F.col("c_emb").alias("emb"))
     ).select("centroid_id", "tbl", "code")
-    # big=True on every corpus-scaled frame in the loop: K grows with
-    # the corpus, so cand/scored are n x ~124 rows — memory-resident
-    # checkpoint blocks pinned protected storage and killed the 1000x
-    # sweep's aggregates with AGGREGATE_OUT_OF_MEMORY (same failure
-    # family as the jaccard index; see BASELINE.md round-6 notes).
-    cand = materialize(
-        vcodes.join(F.broadcast(ccodes), ["tbl", "code"])
-        .select("vec_id", "centroid_id")
-        .distinct(),
-        big=True,
+    # The candidate set deliberately KEEPS duplicates (a vector whose
+    # codes match a centroid in several LSH tables scores that centroid
+    # several times): the two-phase MIN argmin below is invariant to
+    # duplicate (vec_id, centroid_id) rows — identical d2, identical
+    # min — so results match the oracle's SELECT DISTINCT form exactly,
+    # while Spark skips a full n x ~124-row DISTINCT exchange AND the
+    # disk round-trip of checkpointing it (round 7: the pair cost the
+    # 1000x sweep measured in every assignment round). The broadcast
+    # hash join is map-side and cheap to recompute for the fallback's
+    # left_anti, whose right side compacts to n rows map-side anyway.
+    cand = vcodes.join(F.broadcast(ccodes), ["tbl", "code"]).select(
+        "vec_id", "centroid_id"
     )
     fallback = (
         e.select("vec_id")
@@ -245,6 +247,11 @@ def _sem_assign(e: DataFrame, vcodes: DataFrame, c: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(c.select("centroid_id")))
     )
     cand_all = cand.unionByName(fallback)
+    # big=True on the scored frame: K grows with the corpus, so scored
+    # is n x ~124 rows — memory-resident checkpoint blocks pinned
+    # protected storage and killed the 1000x sweep's aggregates with
+    # AGGREGATE_OUT_OF_MEMORY (same failure family as the jaccard
+    # index; see BASELINE.md round-6 notes).
     scored = materialize(
         cand_all.join(e.select("vec_id", "emb"), "vec_id")
         .join(F.broadcast(c), "centroid_id")
