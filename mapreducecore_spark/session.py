@@ -52,6 +52,24 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": os.environ.get(
         "SPARK_GRAFT_INITIAL_SHUFFLE", "256"
     ),
+    # AQE's coalesce target stays at the 64 MB default: the round-7
+    # fourth-decade sweep first suspected it when a 3000x dedup run
+    # OOMed, but a controlled re-run showed FRESH-JVM runs complete at
+    # the default heap under the default target — the failure was
+    # same-JVM back-to-back-run residual state (see BASELINE.md
+    # round-7 fourth-decade notes and tools/run_once.py), so shrinking
+    # the target would have been tuning without evidence. Override
+    # per-run with SPARK_GRAFT_ADVISORY_PARTITION if a wider-row
+    # workload ever needs it.
+    **(
+        {
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ[
+                "SPARK_GRAFT_ADVISORY_PARTITION"
+            ]
+        }
+        if os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION")
+        else {}
+    ),
 }
 
 
