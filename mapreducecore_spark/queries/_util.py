@@ -10,6 +10,8 @@ precision is the shared ground truth).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -51,18 +53,54 @@ def spread(df, min_parts: int = 16):
     maxPartitionBytes), so an expensive narrow stage downstream —
     shingling, per-shingle md5, fingerprinting — runs as a single
     serial task no matter how many cores the cluster has. One cheap
-    round-robin shuffle of the raw rows buys full parallelism for
-    everything after it. At 100 TB the input has thousands of files
-    and this is a no-op (we only repartition when the scan reads fewer
-    files than min_parts), so the guard costs nothing at scale.
+    shuffle of the raw rows buys full parallelism for everything after
+    it. At 100 TB the input has thousands of files and this is a no-op
+    (we only repartition when the scan reads fewer files than
+    min_parts), so the guard costs nothing at scale.
 
     The probe is `inputFiles()` — answered from the (cached) file
     index, unlike `df.rdd.getNumPartitions()` which converts the whole
     logical plan to an RDD per call.
+
+    HASH on a deterministic per-row id, NOT round-robin (round 7): a
+    plain repartition() is round-robin, and Spark sorts every map
+    task's ENTIRE split before a round-robin exchange for retry
+    determinism (spark.sql.execution.sortBeforeRepartition) — at the
+    fourth decade that meant 32 concurrent UnsafeExternalRowSorters
+    each buffering ~60 MB of compressed text while the vectorized
+    parquet reader allocated column batches on top: fresh-8g-JVM heap
+    OOM, measured. Hashing monotonically_increasing_id() keeps the
+    exchange streaming (scan batch -> hash -> shuffle write, no
+    map-side sort) and is retry-stable for the same reason the sort
+    exists: the id is a pure function of (partition index, row
+    position), and spread() always sits directly on a scan, whose row
+    order is deterministic.
+
+    WIDTH scales with the single file's size (~32 MB of on-disk bytes
+    per partition, capped at 2048): a fixed min_parts both under-cuts
+    big single-file corpora (16 partitions of a 1.9 GB file leaves
+    half of local[32] idle through the most CPU-heavy stage — measured
+    at the fourth decade) and is the same fixed-width mistake the
+    pre-AQE shuffle ceiling was (BASELINE.md round 6). Non-local
+    paths, where sizes are not cheaply knowable, keep min_parts.
     """
-    if len(df.inputFiles()) < min_parts:
-        return df.repartition(min_parts)
-    return df
+    files = df.inputFiles()
+    if len(files) >= min_parts:
+        return df
+    n = min_parts
+    try:
+        from urllib.parse import unquote, urlparse
+
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                raise OSError(f"non-local: {f}")
+            total += os.path.getsize(unquote(p.path))
+        n = min(2048, max(min_parts, -(-total // (32 << 20))))
+    except OSError:
+        pass
+    return df.repartition(n, F.monotonically_increasing_id())
 
 
 def materialize(df, big: bool = False):

@@ -218,12 +218,13 @@ def _semdedup_oracle(iters: int) -> str:
 def _sem_assign(e: DataFrame, vcodes: DataFrame, c: DataFrame) -> DataFrame:
     """One LSH-pruned assignment round: exact distances only to
     centroids sharing a sign-LSH bucket, full-argmin fallback for
-    vectors matching no centroid bucket, then a two-phase primitive
-    MIN argmin over the NARROW (vec_id, centroid_id, d2) table — a
-    row_number window here would shuffle every scored row WITH its
-    embedding (n x K x 550B ~ 90 GB at the 100x sweep, measured heap
-    OOM), while min() partial-aggregates map-side so the exchange
-    carries n rows. Ties: min d2, then min centroid_id — identical to
+    vectors matching no centroid bucket, then a single-pass
+    min(struct(d2, centroid_id)) argmin — a row_number window here
+    would shuffle every scored row WITH its embedding (n x K x 550B
+    ~ 90 GB at the 100x sweep, measured heap OOM), while the struct
+    min partial-aggregates map-side so the exchange carries n rows
+    and the n x ~124 scored frame never materializes. Ties: min d2,
+    then min centroid_id (lexicographic struct order) — identical to
     the oracle's two-phase MIN ordering."""
     ccodes = add_lsh_codes(
         c.select(F.col("centroid_id"), F.col("c_emb").alias("emb"))
@@ -247,22 +248,28 @@ def _sem_assign(e: DataFrame, vcodes: DataFrame, c: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(c.select("centroid_id")))
     )
     cand_all = cand.unionByName(fallback)
-    # big=True on the scored frame: K grows with the corpus, so scored
-    # is n x ~124 rows — memory-resident checkpoint blocks pinned
-    # protected storage and killed the 1000x sweep's aggregates with
-    # AGGREGATE_OUT_OF_MEMORY (same failure family as the jaccard
-    # index; see BASELINE.md round-6 notes).
-    scored = materialize(
+    # Single-pass argmin (round 7): min(struct(d2, centroid_id)) is
+    # lexicographic — min d2 first, then min centroid_id among exact
+    # d2 ties — IDENTICAL to the oracle's two-phase MIN ordering (both
+    # engines compute d2 from the same expression, so ties are the
+    # same bit-equal doubles). One map-side partial aggregation
+    # replaces the previous shape's DISK_ONLY checkpoint of the
+    # n x ~124-row scored frame PLUS its re-join against the per-vec
+    # min PLUS a second aggregation: the scored rows now collapse to n
+    # rows inside the map task and the wide frame never exists outside
+    # the pipeline. (The checkpoint itself was the round-6 fix for
+    # protected-storage pinning; not materializing at all supersedes
+    # it.)
+    return (
         cand_all.join(e.select("vec_id", "emb"), "vec_id")
         .join(F.broadcast(c), "centroid_id")
-        .selectExpr("vec_id", "centroid_id", f"{_D2_SPARK} AS d2"),
-        big=True,
-    )
-    best = scored.groupBy("vec_id").agg(F.min("d2").alias("d2"))
-    return (
-        scored.join(best, ["vec_id", "d2"])
+        .selectExpr(
+            "vec_id",
+            f"named_struct('d2', {_D2_SPARK}, 'centroid_id', centroid_id) AS s",
+        )
         .groupBy("vec_id")
-        .agg(F.min("centroid_id").alias("centroid_id"))
+        .agg(F.min("s").alias("s"))
+        .selectExpr("vec_id", "s.centroid_id AS centroid_id")
     )
 
 

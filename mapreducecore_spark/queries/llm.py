@@ -284,8 +284,10 @@ def _minhash_banded(docs: DataFrame) -> DataFrame:
     the materialized index stage both pair generators join against.
     Materialize: both join branches and the star branch reuse the
     computed signatures instead of re-running the shingle+minhash
-    stage."""
-    return materialize(_bucket_stats(_band_signatures(docs)))
+    stage. big=True: 4 band rows per document makes this frame
+    corpus-sized (60M rows at the fourth decade) — DISK_ONLY per the
+    materialize() protected-storage rule."""
+    return materialize(_bucket_stats(_band_signatures(docs)), big=True)
 
 
 _INCR_NEW_MOD = 10  # docs with doc_id % 10 == 0 form the "new batch"
@@ -892,7 +894,12 @@ def _minhash_member_rows(
         )
         member = F.struct("doc_id", "hs", "n_sh", "mhs", "bws", "reps")
     else:
-        per_doc = materialize(sh.groupBy("doc_id").agg(mhs_agg))
+        # big=True even without the hs payload: per_doc is still one
+        # row per document (narrow, but CORPUS-sized), and the round-7
+        # fourth-decade run showed default MEMORY_AND_DISK blocks of
+        # this frame OOM a fresh 8g JVM at 15M docs while DISK_ONLY
+        # completes — same protected-storage family as the hs branch.
+        per_doc = materialize(sh.groupBy("doc_id").agg(mhs_agg), big=True)
         member = F.struct("doc_id", "mhs", "bws", "reps")
     n_bands = _MINHASH_SEEDS // 2
     band_structs = F.array(

@@ -52,15 +52,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": os.environ.get(
         "SPARK_GRAFT_INITIAL_SHUFFLE", "256"
     ),
-    # AQE's coalesce target stays at the 64 MB default: the round-7
-    # fourth-decade sweep first suspected it when a 3000x dedup run
-    # OOMed, but a controlled re-run showed FRESH-JVM runs complete at
-    # the default heap under the default target — the failure was
-    # same-JVM back-to-back-run residual state (see BASELINE.md
-    # round-7 fourth-decade notes and tools/run_once.py), so shrinking
-    # the target would have been tuning without evidence. Override
-    # per-run with SPARK_GRAFT_ADVISORY_PARTITION if a wider-row
-    # workload ever needs it.
+    # AQE's coalesce target stays at the 64 MB default — the right
+    # size for non-expanding exchanges — but it is EXPANSION-BLIND:
+    # AQE widths a reduce stage by its INPUT bytes, and the dedup
+    # flagship's bucket-collect stage expands ~3.6x, so at the fourth
+    # decade each 64 MB-input task sorted ~230 MB and spill went
+    # super-linear (18 GB spill over 37 tasks). A 16 MB override
+    # measured 45% off the 3000x wall (390 -> 213 s, spill 4.5x
+    # lower; BASELINE.md round-7 fourth-decade notes). Override
+    # per-run with SPARK_GRAFT_ADVISORY_PARTITION (bytes); raise
+    # SPARK_GRAFT_INITIAL_SHUFFLE with it past 256-task stages.
     **(
         {
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ[

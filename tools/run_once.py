@@ -1,11 +1,12 @@
 """Single-run timing: one query, one fresh JVM, one measured run.
 
 The min-of-two-same-JVM protocol in scale_bench.py is right for warm
-comparisons at sf0.1..1000x, but at the FOURTH decade the second
-same-JVM run of the dedup flagship OOMs while the first completes
-(residual block/cleaner/UI state eats the ~1-run headroom left in the
-default 8g heap — see BASELINE.md round-7). A fresh-JVM single run is
-also the honest model of a production job. Prints one JSON line.
+comparisons at sf0.1..1000x, but at the FOURTH decade a query can run
+within ~1 run of the default 8g heap's ceiling, where residual
+block/cleaner/UI state from a prior same-JVM run tips the second run
+into OOM while a fresh run completes. A fresh-JVM single run is also
+the honest model of a production job. Prints one JSON line
+(BASELINE.md round-7 fourth-decade notes use this protocol).
 
 Usage: python tools/run_once.py <sf_dir> <query> [factor]
 """
