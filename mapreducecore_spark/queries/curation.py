@@ -80,14 +80,27 @@ _D2_DUCK = (
     "ROUND(list_inner_product(emb, emb) - 2 * list_inner_product(emb, c_emb) + c_norm2, 5)"
 )
 
-# Per-pair cosine from precomputed norms (one fold per PAIR instead of
-# three): dot(a, b) / (|a| * |b|), zero norms -> NULL in both engines.
-_PAIR_COS_SPARK = (
-    "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    " / nullif(nrm_a * nrm_b, CAST(0 AS DOUBLE))"
-)
-_PAIR_COS_DUCK = (
-    "list_inner_product(ea.emb, eb.emb) / nullif(ea.nrm * eb.nrm, 0)"
+# Per-pair cosine for the PRUNE stage, in FLOOR-QUANTIZED form
+# (round 7): the dot product is sum(floor(a_i * b_i * 2^40)) as int64
+# — every term is an IEEE double product scaled by an exact power of
+# two and floored, so the sum is exact, ORDER-INDEPENDENT, and
+# therefore bit-identical across numpy (the applyInPandas prune
+# kernel), DuckDB (this oracle expression), and any Spark SQL form —
+# BY CONSTRUCTION, not by matching summation order. That frees the
+# prune kernel to use vectorized numpy (the previous zip_with
+# per-pair fold burned 64% of the 1000x query's core-seconds; see
+# BASELINE.md round-7 semdedup notes) and drops the ROUND(cos, 6)
+# tie-pinning crutch: with identical quantized dots and the nrm
+# column computed ONCE by Spark and passed through, the raw >=
+# comparison is already deterministic everywhere. Quantization shifts
+# a cosine by < dim * 2^-40 / (|a||b|) — semantically nil against the
+# 0.4 threshold. Zero norms -> NULL in DuckDB (nullif), masked in the
+# kernel: zero vectors never prune.
+_SEM_Q = 1099511627776.0  # 2^40, float for exact IEEE scaling
+_PAIR_COS_Q_DUCK = (
+    "CAST(list_sum(list_transform(generate_series(1, len(ea.emb)), i -> "
+    "CAST(FLOOR(list_extract(ea.emb, i) * list_extract(eb.emb, i) * 1099511627776.0) AS BIGINT)"
+    ")) AS DOUBLE) / 1099511627776.0 / nullif(ea.nrm * eb.nrm, 0)"
 )
 
 _SEM_TRAIN_ITERS = 2  # Lloyd iterations before the prune (Abbas et al.)
@@ -207,7 +220,7 @@ def _semdedup_oracle(iters: int) -> str:
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
       JOIN e ea ON ea.vec_id = a.vec_id
       JOIN e eb ON eb.vec_id = b.vec_id
-      WHERE ROUND({_PAIR_COS_DUCK}, 6) >= {_SEM_T}
+      WHERE {_PAIR_COS_Q_DUCK} >= {_SEM_T}
       GROUP BY b.vec_id
     )
     SELECT s.vec_id, s.centroid_id, p.vec_id IS NULL AS kept, p.pruned_by
@@ -302,6 +315,49 @@ def _sem_mean_update(assigned: DataFrame, e: DataFrame) -> DataFrame:
     )
 
 
+def _prune_cluster_pdf(pdf):
+    """Per-cluster SemDeDup prune kernel (applyInPandas): for each
+    vector (ascending vec_id) find the LOWEST-id earlier member with
+    quantized cosine >= _SEM_T. The pairwise kernel is inherently
+    quadratic WITHIN a cluster — exactly the case the PySpark guide
+    reserves for vectorized Python: the previous pure-SQL self-join
+    evaluated an interpreted zip_with fold per pair (64% of the 1000x
+    query's core-seconds), while one numpy row-sweep per member is
+    vectorized across the cluster. Parity is BY CONSTRUCTION: the dot
+    is the order-independent floor-quantized int64 sum mirrored
+    literally in _PAIR_COS_Q_DUCK, nrm comes in as the column Spark
+    computed (never recomputed here), and the division order matches
+    the oracle expression. Memory: one (j x dim) product block at a
+    time, so a cluster of width w costs O(w * dim) per step — K ~
+    n/250 bounds expected w; a degenerate all-identical corpus is
+    quadratic in ANY implementation of this operator's semantics."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["emb"].to_numpy()) if len(pdf) else np.empty((0, 0))
+    nrm = pdf["nrm"].to_numpy()
+    pruned_by = [None] * len(ids)
+    for j in range(1, len(ids)):
+        q = np.floor(X[:j] * X[j] * _SEM_Q).astype(np.int64).sum(axis=1)
+        denom = nrm[:j] * nrm[j]
+        ok = denom != 0
+        cos = np.zeros(j)
+        cos[ok] = (q[ok].astype(np.float64) / _SEM_Q) / denom[ok]
+        hits = np.nonzero(ok & (cos >= _SEM_T))[0]
+        if hits.size:
+            pruned_by[j] = int(ids[hits[0]])  # ids ascending -> min id
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "centroid_id": pdf["centroid_id"].to_numpy(),
+            "kept": [p is None for p in pruned_by],
+            "pruned_by": pd.array(pruned_by, dtype="Int64"),
+        }
+    )
+
+
 @register("semdedup_prune", oracle=_semdedup_oracle(_SEM_TRAIN_ITERS))
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
@@ -327,13 +383,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the K centroids broadcast every round (argmin is a
     codegen'd fold per row, big side never shuffles for assignment);
-    the prune join shuffles once on centroid_id and is quadratic only
-    within a cluster — K = max(8, ceil(n / 250)) grows with the corpus
-    (the paper's own knob) so cluster width, and with it the total
-    pair count, stays LINEAR in n; the first 10x sweep with a fixed
-    K=8 measured 30x and motivated this. Norms are precomputed per
-    vector, so each candidate pair costs ONE array fold (the dot
-    product), not three. Assignment is LSH-pruned: brute-force n x K
+    the prune shuffles once on centroid_id into a vectorized
+    per-cluster applyInPandas kernel (_prune_cluster_pdf — quantized
+    order-independent dot, oracle-mirrored by construction) and is
+    quadratic only within a cluster — K = max(8, ceil(n / 250)) grows
+    with the corpus (the paper's own knob) so cluster width, and with
+    it the total pair count, stays LINEAR in n; the first 10x sweep
+    with a fixed K=8 measured 30x and motivated this. Norms are
+    precomputed per vector by Spark and passed through to the kernel
+    unchanged. Assignment is LSH-pruned: brute-force n x K
     assignment with K ~ n re-measured 9.3x/decade at the 100x sweep;
     pruning cuts candidates ~64x and the fallback fraction decays
     exponentially in K, so the approximation tightens exactly where it
@@ -376,34 +434,23 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         es, vscodes = e, vcodes
     for _ in range(_SEM_TRAIN_ITERS):
         c = _sem_mean_update(_sem_assign(es, vscodes, c), es)
+    # The checkpoint here is a JOB BARRIER, not just reuse (round 7):
+    # the prune consumes the assignment only once, but dropping the
+    # materialize merged the final assignment's sort-based struct-min
+    # aggregation and the prune into ONE job whose independent stages
+    # ran concurrently — measured heap OOM at 1000x where the
+    # barriered form completes. DISK_ONLY per the corpus-sized-frame
+    # rule; the Arrow grouped-map below then reads compact
+    # checkpointed blocks.
     assigned = materialize(
         _sem_assign(e, vcodes, c)
         .join(e, "vec_id")
         .select("vec_id", "centroid_id", "emb", "nrm"),
         big=True,
     )
-    a = assigned.selectExpr(
-        "vec_id AS id_a", "centroid_id", "emb AS emb_a", "nrm AS nrm_a"
-    )
-    b = assigned.selectExpr(
-        "vec_id AS id_b", "centroid_id", "emb AS emb_b", "nrm AS nrm_b"
-    )
-    pruned = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.expr(f"ROUND({_PAIR_COS_SPARK}, 6) >= {_SEM_T}"))
-        .groupBy(F.col("id_b").alias("vec_id"))
-        .agg(F.min("id_a").alias("pruned_by"))
-    )
-    return (
-        assigned.select("vec_id", "centroid_id")
-        .join(pruned, "vec_id", "left")
-        .select(
-            "vec_id",
-            "centroid_id",
-            F.col("pruned_by").isNull().alias("kept"),
-            "pruned_by",
-        )
+    return assigned.groupBy("centroid_id").applyInPandas(
+        _prune_cluster_pdf,
+        "vec_id bigint, centroid_id bigint, kept boolean, pruned_by bigint",
     )
 
 

@@ -411,7 +411,13 @@ def test_random_embeddings_semdedup_vs_python_reference(
             denom = nrm[a] * nrm[b]
             if denom == 0.0:
                 continue  # NULL cosine in both engines
-            if round(float(v[a] @ v[b]) / denom, 6) >= 0.4:
+            # Floor-quantized dot, the _PAIR_COS_Q_DUCK rule: exact
+            # order-independent int64 sum, so this reference matches
+            # the engine BY CONSTRUCTION (round 7; previously a
+            # BLAS-ordered v@v + banker's round only happened to
+            # agree at this n).
+            q = int(np.floor(v[a] * v[b] * 1099511627776.0).astype(np.int64).sum())
+            if (q / 1099511627776.0) / denom >= 0.4:
                 pruned_by = a
                 break
         expect[b] = (int(assigned[b]), pruned_by is None, pruned_by)

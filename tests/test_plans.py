@@ -348,15 +348,16 @@ def test_token_entropy_single_scan_no_exchange(spark, sf_dir):
 
 
 def test_semdedup_broadcasts_centroids_only(spark, sf_dir):
-    """semdedup_prune: the intra-cluster prune join must be an
-    equi-join on centroid_id — a cartesian there is O(n^2) across
-    clusters. (The K-centroid assignment cross-join sits behind the
-    localCheckpoint, so it is asserted on the unmaterialized
-    assignment subplan: broadcast nested loop over the tiny centroid
-    set, never CartesianProduct.)"""
+    """semdedup_prune: the prune is a single centroid_id exchange
+    into the vectorized per-cluster kernel (FlatMapGroupsInPandas) —
+    never a cartesian, and no pair-keyed join anywhere in the outer
+    plan. (The K-centroid assignment cross-join is asserted on the
+    unmaterialized assignment subplan below: broadcast nested loop
+    over the tiny centroid set, never CartesianProduct.)"""
     plan = plan_of(REGISTRY["semdedup_prune"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "centroid_id" in plan and "Join" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "centroid_id" in plan
 
     # Rebuild the assignment's scored stage sans materialize to see
     # its join and aggregation shape: the n x K explosion must be a
