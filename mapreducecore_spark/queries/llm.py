@@ -576,13 +576,20 @@ def _collapsed_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenization would run per consumer (the _line_dedup_from_lines
     # rule). The wide text column deliberately stays OUT of the
     # checkpoint: only rep_docs needs it, via one more (pruned) scan.
+    # big=True on both (round 7): narrow but CORPUS-sized (one row per
+    # doc / per distinct text) — at the fourth decade their default
+    # memory blocks stacked against the two concurrent text-scan
+    # stages and OOMed a fresh 8g JVM in the vectorized reader, the
+    # same protected-storage family as the flagship's per_doc frame.
     dn = materialize(
         docs.selectExpr(
             "doc_id", "md5(text) AS th", f"size({_TOKS}) >= 3 AS shingled"
-        )
+        ),
+        big=True,
     )
     classes = materialize(
-        dn.groupBy("th").agg(F.min("doc_id").alias("rep"), F.count("*").alias("cw"))
+        dn.groupBy("th").agg(F.min("doc_id").alias("rep"), F.count("*").alias("cw")),
+        big=True,
     )
     rep_docs = docs.select("doc_id", "text").join(
         classes.select(F.col("rep").alias("doc_id")), "doc_id"
