@@ -525,11 +525,20 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ")), 1, 15), 16, 10) AS BIGINT) AS gram_h",
         )
     )
-    g = materialize(g)
+    g = materialize(g, big=True)  # one row per (doc, gram): corpus-sized
+    # "occurs in >= 2 distinct docs" == min(doc_id) != max(doc_id):
+    # COUNT(DISTINCT doc_id) plans a partial DEDUP map keyed by every
+    # (gram_h, doc_id) pair — grams are near-unique, so the map holds
+    # ~every input row and the fourth-decade run OOMed inside it
+    # (round 7). min/max partial-aggregate keyed by gram_h alone (one
+    # 24-byte entry per gram, one exchange level fewer), and the dup
+    # SET is provably identical, so the oracle keeps its literal
+    # HAVING COUNT(DISTINCT doc_id) >= 2 form — dup feeds only a
+    # semi-join, no reported value involves the count.
     dup = (
         g.groupBy("gram_h")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
+        .filter(F.col("d_min") != F.col("d_max"))
         .select("gram_h")
     )
     hits = g.join(dup, "gram_h").select("doc_id", "pos")

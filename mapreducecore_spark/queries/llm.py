@@ -513,7 +513,12 @@ def _incremental_vs_index(idx: DataFrame, new_docs: DataFrame) -> DataFrame:
     tools/incr_batch_sweep.py measures exactly that claim. `new_docs`
     rows must be disjoint from the indexed docs (a doc is old xor
     new)."""
-    new_bands = materialize(_band_signatures(new_docs))
+    # big=True on the corpus-proportional frames below (round 7
+    # fourth-decade audit): narrow-but-corpus-sized checkpoints in
+    # default memory blocks are the measured OOM family (flagship
+    # per_doc, components dn/classes); storage level never changes
+    # values, only residency.
+    new_bands = materialize(_band_signatures(new_docs), big=True)
     wb = Window.partitionBy("band_id", "sig")
     banded = materialize(
         _touched_bucket_rows(idx, new_bands).select(
@@ -523,7 +528,8 @@ def _incremental_vs_index(idx: DataFrame, new_docs: DataFrame) -> DataFrame:
             "is_new",
             F.count("*").over(wb).alias("bw"),
             F.min("doc_id").over(wb).alias("rep"),
-        )
+        ),
+        big=True,  # touched-bucket rows track the batch, which here is corpus/10
     )
     new_small = banded.filter(
         F.col("is_new") & (F.col("bw") <= _MINHASH_MAX_BUCKET)
@@ -1998,7 +2004,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(t["embeddings"]).selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
     )
-    be = materialize(add_lsh_codes(e))
+    be = materialize(add_lsh_codes(e), big=True)  # emb payload x tables
     a = be.selectExpr("vec_id AS id_a", "tbl", "code")
     b = be.selectExpr("vec_id AS id_b", "tbl", "code")
     cand = (
@@ -2438,7 +2444,7 @@ def boilerplate_ngram_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.filter(F.expr("size(toks) >= 3")).selectExpr(
         "doc_id", f"explode({_shingles_expr(3)}) AS shingle"
     )
-    sh = materialize(sh)
+    sh = materialize(sh, big=True)  # exploded shingles: corpus-sized
     df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     per_doc = (
         sh.join(df, "shingle")
@@ -2868,7 +2874,7 @@ def _line_dedup_from_lines(lines: DataFrame, joiner: str) -> DataFrame:
     materialize it once so the scan+segmentation stage doesn't run 3x
     (measured 35% faster at 10x; same pattern as the minhash
     signature localCheckpoint)."""
-    occ = materialize(lines)
+    occ = materialize(lines, big=True)  # line-level: corpus-sized
     firsts = occ.groupBy("line").agg(F.min("doc_id").alias("d0"))
     seconds = (
         occ.join(firsts, "line")

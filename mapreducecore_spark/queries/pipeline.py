@@ -966,7 +966,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = materialize(
         q.filter("quality >= 0.3").withColumn(
             "h", F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " ")))
-        )
+        ),
+        big=True,  # survivors carry text: corpus-sized
     )
     keepers = filtered.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     kept = filtered.join(keepers.select("doc_id"), "doc_id", "left_semi")
@@ -1180,7 +1181,7 @@ def decontam_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.sig")
-    bands = materialize(bands)
+    bands = materialize(bands, big=True)  # corpus band rows
     bench = bands.filter(_BENCH_PRED).select(
         F.col("doc_id").alias("bench_id"), "band_id", "sig"
     )
@@ -1465,7 +1466,8 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = materialize(
         docs.filter("size(toks) >= 2").selectExpr(
             "doc_id", f"explode({_ALL_BIGRAMS_SPARK}) AS bigram"
-        )
+        ),
+        big=True,  # exploded bigrams: corpus x tokens
     )
     c2 = big.groupBy("bigram").agg(F.count("*").alias("n2"))
     c1 = c2.groupBy(F.split("bigram", " ").getItem(0).alias("w1")).agg(
@@ -1617,7 +1619,8 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = materialize(
         q.filter("quality >= 0.3").withColumn(
             "h", F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " ")))
-        )
+        ),
+        big=True,  # survivors carry text: corpus-sized
     )
     keepers = filtered.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     kept = filtered.join(keepers.select("doc_id"), "doc_id", "left_semi")
@@ -1670,7 +1673,8 @@ def _gate_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = materialize(
         q.filter("quality >= 0.3").withColumn(
             "h", F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " ")))
-        )
+        ),
+        big=True,  # survivors carry text: corpus-sized
     )
     keepers = filtered.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     kept = filtered.join(keepers.select("doc_id"), "doc_id", "left_semi")
