@@ -36,12 +36,25 @@ BROADCAST_DIMS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# (appId, sf_dir) -> table dict. DataFrames are lazy plans — caching
-# them skips 10 parquet-footer/analysis round-trips per query call
-# (every registry query starts with load_tables), which adds up across
-# a 170-query bench run. Keyed by applicationId so a restarted session
-# never sees another JVM's plans.
-_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+# (appId, session tag, sf_dir) -> table dict. DataFrames are lazy
+# plans — caching them skips 10 parquet-footer/analysis round-trips per
+# query call (every registry query starts with load_tables), which adds
+# up across a 170-query bench run. Keyed by applicationId so a
+# restarted session never sees another JVM's plans, AND by a per-
+# SparkSession tag (round 8): a DataFrame is bound to the session that
+# read it, so the expanding_session clone (per-query AQE advisory)
+# must not be handed frames built on the base session — the clone's
+# conf would silently never apply at action time.
+_TABLE_CACHE: dict[tuple[str, int, str], dict[str, DataFrame]] = {}
+_SESSION_TAGS = iter(range(1, 1 << 62))
+
+
+def _session_tag(spark: SparkSession) -> int:
+    tag = spark.__dict__.get("_graft_catalog_tag")
+    if tag is None:
+        tag = next(_SESSION_TAGS)
+        spark._graft_catalog_tag = tag
+    return tag
 
 
 def load_tables(
@@ -50,7 +63,7 @@ def load_tables(
     """Load every table in `sf_dir`; optionally register temp views."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     tune_session(spark)
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, _session_tag(spark), sf_dir)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         if register:

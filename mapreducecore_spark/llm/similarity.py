@@ -16,6 +16,7 @@ from __future__ import annotations
 
 N_TABLES = 4
 BITS = 8
+MAX_BITS = 16  # widest per-table code the hyperplane pool supports
 _HALF = 32  # hyperplane pairs (i, i+32) over 64-dim embeddings
 
 # The denominator is wrapped in nullif so a zero-norm vector yields
@@ -35,13 +36,32 @@ COS_DUCK = (
 )
 
 
-def _code_expr(table: int, elem_fn: str, emb: str = "emb") -> str:
-    """k-bit sign code for one table: bit i compares coordinates
-    (table*BITS + i) vs (table*BITS + i + 32), 1-based."""
-    terms = []
-    for i in range(1, BITS + 1):
+def _hyperplane(table: int, i: int) -> tuple[int, int]:
+    """Coordinate pair (1-based) for bit i of `table`'s code.
+
+    Bits 1..8 are the original family (lo = table*8 + i vs lo + 32) so
+    every default-BITS caller — and every static oracle SQL string
+    built from it — is byte-identical to the pre-parameterized form.
+    Bits 9..16 draw from a disjoint reserve pool of +16-offset pairs
+    (r, r + 16) with r = table*8 + (i - 8) in 1..32: distinct from the
+    +32 primaries and from each other, so a wide code's extra bits are
+    new hyperplanes, not repeats. Wide codes exist for the
+    corpus-adaptive semdedup assignment (bits grows with K so
+    centroids-per-bucket stays bounded); a b-bit code equals the
+    MAX_BITS code modulo 2^b by bit-positional construction, which is
+    how the DuckDB oracle expresses a data-dependent width."""
+    if i <= BITS:
         lo = table * BITS + i
-        hi = lo + _HALF
+        return lo, lo + _HALF
+    r = table * BITS + (i - BITS)
+    return r, r + 16
+
+
+def _code_expr(table: int, elem_fn: str, emb: str = "emb", bits: int = BITS) -> str:
+    """bits-wide sign code for one table over the _hyperplane pool."""
+    terms = []
+    for i in range(1, bits + 1):
+        lo, hi = _hyperplane(table, i)
         terms.append(
             f"(CASE WHEN {elem_fn}({emb}, {lo}) >= {elem_fn}({emb}, {hi}) "
             f"THEN {1 << (i - 1)} ELSE 0 END)"
@@ -49,35 +69,49 @@ def _code_expr(table: int, elem_fn: str, emb: str = "emb") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def spark_code_expr(table: int, emb: str = "emb") -> str:
-    return _code_expr(table, "element_at", emb)
+def spark_code_expr(table: int, emb: str = "emb", bits: int = BITS) -> str:
+    return _code_expr(table, "element_at", emb, bits)
 
 
-def duck_code_expr(table: int, emb: str = "emb") -> str:
-    return _code_expr(table, "list_extract", emb)
+def duck_code_expr(table: int, emb: str = "emb", bits: int = BITS) -> str:
+    return _code_expr(table, "list_extract", emb, bits)
 
 
-def spark_tables_expr(emb: str = "emb") -> str:
+def spark_tables_expr(emb: str = "emb", bits: int = BITS) -> str:
     """Array of (table, code) structs — explode to get one row per table."""
     entries = ", ".join(
-        f"struct({t} AS tbl, {spark_code_expr(t, emb)} AS code)" for t in range(N_TABLES)
+        f"struct({t} AS tbl, {spark_code_expr(t, emb, bits)} AS code)"
+        for t in range(N_TABLES)
     )
     return f"array({entries})"
 
 
-def duck_tables_select(emb: str = "emb") -> str:
-    """DuckDB: one (tbl, code) per table via parallel unnest."""
+def duck_tables_select(emb: str = "emb", mask: str | None = None) -> str:
+    """DuckDB: one (tbl, code) per table via parallel unnest.
+
+    `mask` (a SQL expression, typically a scalar subquery yielding
+    2^bits) selects a DATA-DEPENDENT code width: codes are generated
+    at MAX_BITS and reduced modulo the mask, which equals generating
+    the narrower code directly (bit i contributes 2^(i-1), so mod 2^b
+    keeps exactly bits 1..b). Without a mask this emits the default
+    8-bit family, byte-identical to the pre-parameterized generator —
+    the static ANN oracle strings depend on that."""
     tbls = ", ".join(str(t) for t in range(N_TABLES))
-    codes = ", ".join(duck_code_expr(t, emb) for t in range(N_TABLES))
+    if mask is None:
+        codes = ", ".join(duck_code_expr(t, emb) for t in range(N_TABLES))
+    else:
+        codes = ", ".join(
+            f"({duck_code_expr(t, emb, MAX_BITS)} % ({mask}))" for t in range(N_TABLES)
+        )
     return f"unnest([{tbls}]) AS tbl, unnest([{codes}]) AS code"
 
 
-def add_lsh_codes(df, emb_col: str = "emb"):
+def add_lsh_codes(df, emb_col: str = "emb", bits: int = BITS):
     """Explode a vector DataFrame to one row per (vector, table) with
     its bucket code. Input must carry `emb` as array<double>."""
     cols = [c for c in df.columns if c != emb_col]
     return df.selectExpr(
         *cols,
         emb_col,
-        f"explode({spark_tables_expr(emb_col)}) AS tc",
+        f"explode({spark_tables_expr(emb_col, bits)}) AS tc",
     ).selectExpr(*cols, emb_col, "tc.tbl AS tbl", "tc.code AS code")

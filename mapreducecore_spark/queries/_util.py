@@ -103,6 +103,65 @@ def spread(df, min_parts: int = 16):
     return df.repartition(n, F.monotonically_increasing_id())
 
 
+_EXPAND_ADVISORY_BYTES = 16 << 20  # measured best for ~3-4x expanding stages
+
+
+def expanding_session(spark):
+    """Session clone with a 16 MB AQE advisory for queries whose hot
+    reduce stage EXPANDS its input.
+
+    AQE's coalesce sizes a reduce task by the bytes it READS from the
+    previous exchange — it is expansion-blind. The minhash family's
+    bucket-collect stage inflates ~3.6x (narrow band rows collect into
+    per-bucket member arrays), so at the default 64 MB advisory each
+    task sorts ~230 MB and spills: the fourth-decade flagship measured
+    37 over-fat tasks, 18.1 GB spill, and a 16 MB advisory cut wall
+    45% (390 -> 213 s) with spill down 4.5x (BASELINE.md round 7).
+    Rather than shrink the GLOBAL advisory (wrong for every
+    non-expanding exchange), the expanding queries bind their plans to
+    a cloned session carrying the smaller advisory: DataFrames hold
+    their session, and AQE reads conf at ACTION time, so a
+    set-then-restore around plan construction would not stick — the
+    clone is the supported per-query conf scope.
+
+    The clone is created once per underlying session and cached on it;
+    re-entry (a family helper calling another family entry point)
+    returns the same clone. An explicit SPARK_GRAFT_ADVISORY_PARTITION
+    override wins — the operator asked for a specific global value, so
+    no per-query second-guessing."""
+    if os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION"):
+        return spark
+    if getattr(spark, "_graft_expanding", False):
+        return spark
+    clone = spark.__dict__.get("_graft_expand_clone")
+    if clone is None:
+        from mapreducecore_spark.session import tune_session
+
+        clone = spark.newSession()
+        tune_session(clone)
+        clone.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(_EXPAND_ADVISORY_BYTES),
+        )
+        clone._graft_expanding = True
+        spark._graft_expand_clone = clone
+    return clone
+
+
+def expanding(fn):
+    """Decorator form of expanding_session for registry entry points:
+    the query builds (and therefore executes) against the small-
+    advisory clone. Place UNDER @register so the registered callable
+    is the wrapped one."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir):
+        return fn(expanding_session(spark), sf_dir)
+
+    return wrapper
+
+
 def materialize(df, big: bool = False):
     """Compute once, reuse across self-join branches.
 

@@ -69,6 +69,41 @@ _SEM_MIN_K = 8
 _SEM_DOCS_PER_CLUSTER = 250
 _SEM_T = 0.4  # cosine prune threshold (matches data's near-dup band)
 
+# ---- corpus-adaptive LSH code width (round 8, VERDICT r7 #1) ----
+# A FIXED 4x8-bit code space (1024 (tbl,code) slots) saturates once K
+# outgrows it: at the fourth decade (K ~ 24k) every bucket held ~94
+# centroids, candidates per vector grew ~K/64, and the training
+# assignment went quadratic-in-n by construction (measured 4.20x wall
+# for 3x data, BASELINE.md round-7 semdedup notes). Scaling code bits
+# with log2(K) pins expected centroids-per-bucket at <= ~16 per table
+# (bits = smallest b >= 8 with 2^b >= K/16, capped at MAX_BITS), so
+# candidates per vector stay ~4*16 regardless of corpus size while
+# P[a vector's buckets hold no centroid at all] stays ~e^-K/2^bits
+# per table — vanishing, so the exact-argmin fallback never becomes a
+# hidden n x K path. The comparison ladder below (not a float log2)
+# keeps the tier flip bit-deterministic across engines; the oracle
+# computes the SAME ladder from its k CTE and reduces MAX_BITS codes
+# modulo 2^bits, which equals generating bits-wide codes directly
+# (llm/similarity._hyperplane is bit-positional).
+_SEM_OCC_LOG2 = 4  # target ~2^4 centroids per bucket per table
+_SEM_BITS_LADDER = tuple(1 << t for t in range(8 + _SEM_OCC_LOG2, 16 + _SEM_OCC_LOG2))
+
+
+def _sem_bits(k: int) -> int:
+    """Code width for codebook size k: 8 + one per ladder rung passed."""
+    return 8 + sum(k > rung for rung in _SEM_BITS_LADDER)
+
+
+_SEM_BITS_DUCK = "8 + " + " + ".join(
+    f"CAST(k > {rung} AS INT)" for rung in _SEM_BITS_LADDER
+)
+# Scalar mask CTEs the oracle threads through every code computation.
+_SEM_MASK_CTES = (
+    f"semb AS (SELECT {_SEM_BITS_DUCK} AS bits FROM k),\n"
+    "    semmask AS (SELECT CAST(1 AS BIGINT) << bits AS m FROM semb)"
+)
+_SEM_MASK = "SELECT m FROM semmask"
+
 # |a-c|^2 argmin == argmin(|a|^2 - 2 a.c + |c|^2); ROUND pins the
 # cross-engine tie landscape exactly like kmeans_assign_seeded.
 _D2_SPARK = (
@@ -141,9 +176,10 @@ def _sem_assign_ctes(tag: str, cents: str, src: str = "e", codes: str = "vcodes"
     candidate buckets -> full-argmin fallback -> two-phase MIN argmin.
     Mirrors the Spark _sem_assign helper CTE-for-stage. Training rounds
     pass src="es"/codes="vscodes" (the hash-sampled training subset);
-    the final assignment passes the full-corpus defaults."""
+    the final assignment passes the full-corpus defaults. Codes are
+    width-masked by the semmask scalar CTE (corpus-adaptive bits)."""
     return f"""
-    cc{tag} AS MATERIALIZED (SELECT centroid_id, {duck_tables_select("c_emb")} FROM {cents}),
+    cc{tag} AS MATERIALIZED (SELECT centroid_id, {duck_tables_select("c_emb", mask=_SEM_MASK)} FROM {cents}),
     cand{tag} AS MATERIALIZED (
       SELECT DISTINCT v.vec_id, cc.centroid_id
       FROM {codes} v JOIN cc{tag} cc USING (tbl, code)
@@ -201,11 +237,12 @@ def _semdedup_oracle(iters: int) -> str:
     k AS (SELECT GREATEST({_SEM_MIN_K},
                           CAST(CEIL(COUNT(*) / {_SEM_DOCS_PER_CLUSTER}.0) AS BIGINT)) AS k
           FROM e),
+    {_SEM_MASK_CTES},
     c0 AS MATERIALIZED (SELECT vec_id AS centroid_id, emb AS c_emb,
                   list_inner_product(emb, emb) AS c_norm2
            FROM e
            QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM k)),
-    vcodes AS MATERIALIZED (SELECT vec_id, {duck_tables_select("emb")} FROM e),
+    vcodes AS MATERIALIZED (SELECT vec_id, {duck_tables_select("emb", mask=_SEM_MASK)} FROM e),
     es AS MATERIALIZED (
       SELECT * FROM e
       WHERE (SELECT COUNT(*) FROM e) < {_SEM_TRAIN_SAMPLE_MIN_N}
@@ -228,7 +265,9 @@ def _semdedup_oracle(iters: int) -> str:
 """
 
 
-def _sem_assign(e: DataFrame, vcodes: DataFrame, c: DataFrame) -> DataFrame:
+def _sem_assign(
+    e: DataFrame, vcodes: DataFrame, c: DataFrame, bits: int = 8
+) -> DataFrame:
     """One LSH-pruned assignment round: exact distances only to
     centroids sharing a sign-LSH bucket, full-argmin fallback for
     vectors matching no centroid bucket, then a single-pass
@@ -240,7 +279,7 @@ def _sem_assign(e: DataFrame, vcodes: DataFrame, c: DataFrame) -> DataFrame:
     then min centroid_id (lexicographic struct order) — identical to
     the oracle's two-phase MIN ordering."""
     ccodes = add_lsh_codes(
-        c.select(F.col("centroid_id"), F.col("c_emb").alias("emb"))
+        c.select(F.col("centroid_id"), F.col("c_emb").alias("emb")), bits=bits
     ).select("centroid_id", "tbl", "code")
     # The candidate set deliberately KEEPS duplicates (a vector whose
     # codes match a centroid in several LSH tables scores that centroid
@@ -381,6 +420,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook (tests/test_round3_ops.py) — which is what bounds the
     prune stage's within-cluster pair count.
 
+    Round 8: the LSH code WIDTH is corpus-adaptive (bits = 8 +
+    ladder(K), see _sem_bits) so the candidate space grows with the
+    codebook instead of saturating — the fixed 1024-slot space made
+    the fourth-decade training assignment ~n*K/64 (4.20x wall for 3x
+    data, BASELINE.md round 7). The oracle computes the same ladder
+    from its k CTE and masks MAX_BITS codes modulo 2^bits, which is
+    bit-identical to generating bits-wide codes.
+
     Scale shape: the K centroids broadcast every round (argmin is a
     codegen'd fold per row, big side never shuffles for assignment);
     the prune shuffles once on centroid_id into a vectorized
@@ -413,6 +460,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_docs): K must be known to pick the centroid set.
     n_vecs = t["embeddings"].count()
     k = max(_SEM_MIN_K, -(-n_vecs // _SEM_DOCS_PER_CLUSTER))
+    bits = _sem_bits(k)  # corpus-adaptive code width (see ladder note)
     # Rank-based seeds (K lowest vec_ids): TakeOrdered partial top-k,
     # not a vec_id < k filter that silently shrinks on sparse ids.
     c = e.orderBy("vec_id").limit(k).selectExpr(
@@ -420,7 +468,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emb AS c_emb",
         "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS c_norm2",
     )
-    vcodes = add_lsh_codes(e.select("vec_id", "emb")).select("vec_id", "tbl", "code")
+    vcodes = add_lsh_codes(e.select("vec_id", "emb"), bits=bits).select(
+        "vec_id", "tbl", "code"
+    )
     # Training set: deterministic ~1/4 md5 hash-sample above the
     # corpus-size threshold (see _SEM_TRAIN_SAMPLE_* above). Only the
     # Lloyd rounds shrink; the final assignment and the prune below
@@ -433,7 +483,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         es, vscodes = e, vcodes
     for _ in range(_SEM_TRAIN_ITERS):
-        c = _sem_mean_update(_sem_assign(es, vscodes, c), es)
+        c = _sem_mean_update(_sem_assign(es, vscodes, c, bits), es)
     # The checkpoint here is a JOB BARRIER, not just reuse (round 7):
     # the prune consumes the assignment only once, but dropping the
     # materialize merged the final assignment's sort-based struct-min
@@ -443,7 +493,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule; the Arrow grouped-map below then reads compact
     # checkpointed blocks.
     assigned = materialize(
-        _sem_assign(e, vcodes, c)
+        _sem_assign(e, vcodes, c, bits)
         .join(e, "vec_id")
         .select("vec_id", "centroid_id", "emb", "nrm"),
         big=True,

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from mapreducecore_spark.catalog import load_tables
 from mapreducecore_spark.functions.text import SPLIT_REGEX, SPLIT_REGEX_SQL
 from mapreducecore_spark.queries import register
-from mapreducecore_spark.queries._util import materialize, spread
+from mapreducecore_spark.queries._util import expanding, materialize, spread
 
 # ---------------------------------------------------------------- dedup
 
@@ -187,6 +187,7 @@ _MINHASH_ORACLE = _minhash_oracle()
 
 
 @register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+@expanding
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: 3-token shingles -> 8 md5
     minhashes -> 4 bands of 2 -> docs sharing any band signature.
@@ -308,6 +309,7 @@ _INCR_MINHASH_ORACLE = f"""
 
 
 @register("dedup_incremental_minhash", oracle=_INCR_MINHASH_ORACLE)
+@expanding
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dedup — the shape a production ingest actually
     runs: a NEW batch (here doc_id % 10 == 0, the deterministic
@@ -393,6 +395,7 @@ _BAND_INDEX_ORACLE = f"""
 
 
 @register("dedup_band_index_build", oracle=_BAND_INDEX_ORACLE)
+@expanding
 def dedup_band_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build and PERSIST the LSH band index of the existing corpus
     (doc_id % 10 != 0 — the complement of the incremental ops' "new
@@ -443,6 +446,7 @@ def dedup_band_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dedup_incremental_persisted", oracle=_INCR_MINHASH_ORACLE)
+@expanding
 def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup against a PERSISTED band index — the
     two-step production path dedup_incremental_minhash's docstring
@@ -659,6 +663,7 @@ _JACCARD_ORACLE = _jaccard_oracle()
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+@expanding
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted shingle index:
     join docs on shared 4-token shingle, count intersections, compute
@@ -785,6 +790,7 @@ _LSH_VERIFIED_ORACLE = f"""
 
 
 @register("dedup_lsh_verified_pairs", oracle=_LSH_VERIFIED_ORACLE)
+@expanding
 def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup SCORER shape: exact Jaccard computed
     ONLY on the MinHash-LSH candidate pairs, keeping verification work
@@ -1078,6 +1084,7 @@ _DEDUP_RECALL_ORACLE = f"""
 
 
 @register("dedup_candidate_recall", oracle=_DEDUP_RECALL_ORACLE)
+@expanding
 def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-generator quality as a first-class operator (the dedup
     twin of ann_recall_eval): recall of the MinHash-LSH candidate pairs
@@ -1156,6 +1163,7 @@ _MH_EST_ORACLE = f"""
 
 
 @register("minhash_estimate_accuracy", oracle=_MH_EST_ORACLE)
+@expanding
 def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-quality eval (completes the eval trio with
     dedup_candidate_recall and ann_recall_eval): for every guarded LSH
@@ -1208,6 +1216,7 @@ _COMPONENTS_ORACLE = f"""
 
 
 @register("dedup_connected_components", oracle=_COMPONENTS_ORACLE)
+@expanding
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS from near-dup PAIRS: connected components of the
     MinHash-LSH candidate graph by iterative min-label propagation
@@ -2381,6 +2390,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.component
     """,
 )
+@expanding
 def dedup_neardup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH candidate pairs -> connected
     components -> per-cluster canonical document by quality (ties ->
@@ -2767,6 +2777,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sizes s GROUP BY s.cluster_size
     """,
 )
+@expanding
 def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The report a curation run ends with: near-dup cluster-size
     histogram plus how much of the corpus each size class would remove

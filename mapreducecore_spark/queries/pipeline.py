@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from mapreducecore_spark.catalog import load_tables
 from mapreducecore_spark.queries import register
-from mapreducecore_spark.queries._util import materialize, spread
+from mapreducecore_spark.queries._util import expanding, materialize, spread
 from mapreducecore_spark.queries.llm import _TOKS, _TOKS_DUCK, _shingles_duck, _shingles_expr
 
 # Sequential-fold inner product — identical expression tree on both
@@ -250,6 +250,42 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BASKET_TOPM = 1024  # phase-A item pool that derives the support floor
 _BASKET_QUAL_CAP = 100_000  # largest qualifying-item set worth filtering with
+# Phase A (the extra pair-count pass over top-M-item baskets) runs only
+# when the top-M pool covers this share of all item instances: its
+# floor approaches c100 only when the global top pairs live in the
+# head, and head coverage is the cheap proxy for that. Below the gate,
+# the free driver-side Bonferroni floor (see _basket_floor_bonferroni)
+# is used alone. Gating is a performance choice, never a correctness
+# one — every floor in play is individually lossless.
+_BASKET_HEAD_COVERAGE = 0.25
+
+
+def _basket_floor_bonferroni(head_freqs: list[int], n_baskets: int) -> int:
+    """Driver-side lossless support floor from item frequencies alone.
+
+    Inclusion-exclusion: items a, b appearing in f(a), f(b) of N
+    baskets co-occur in >= f(a) + f(b) - N of them. Each such positive
+    bound names a REAL pair with count >= bound, so the 100th-largest
+    bound over all pairs lower-bounds c100 (the 100th-highest true
+    pair count) — and dropping items with freq < that value cannot
+    drop a top-100 pair (pair count <= min member freq). The 100
+    largest bounds all live within the top-101 items by frequency
+    (bounds are monotone in frequency rank: a pair using rank >= 102
+    is dominated by >= 100 distinct pairs of the higher ranks), so the
+    collected head list suffices. Costs zero cluster work; fires only
+    on extreme-skew corpora (head items in > half the baskets) — the
+    exact shape whose pair exchange needs cutting most."""
+    fs = sorted(head_freqs, reverse=True)[:101]
+    bounds = sorted(
+        (
+            fs[i] + fs[j] - n_baskets
+            for i in range(len(fs))
+            for j in range(i + 1, len(fs))
+            if fs[i] + fs[j] - n_baskets > 0
+        ),
+        reverse=True,
+    )
+    return bounds[99] if len(bounds) >= 100 else 1
 
 
 @register(
@@ -298,18 +334,17 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       top-100: a pair's order count is <= min(freq(a), freq(b)), so
       every pair in the global top-100 has BOTH items' frequencies
       >= c100 (the 100th-highest pair count). c100 is unknown up
-      front, but any 100 REAL pairs lower-bound it: phase A counts
-      pairs restricted to the _BASKET_TOPM most frequent items (an
-      in-row array_intersect against one broadcast array — no extra
-      basket exchange) and takes L = its 100th-highest count (L = 1
-      if phase A yields < 100 pairs). Since the true top-100 counts
-      dominate any other 100 pair counts element-wise, c100 >= L, so
-      dropping items with freq < L cannot drop a top-100 pair. On
-      uniform TPC-H (c100 = 2, every part in >= 11 orders) the filter
-      keeps everything and is SKIPPED (driver-side scalar check —
-      same accepted 1-row pattern as semdedup's n_vecs); on a skewed
-      real corpus, where a head of hot items dominates the top
-      pairs, L is large and the filter cuts the exchange itself."""
+      front, but any 100 REAL pairs lower-bound it. Round 8 derives
+      the floor in two lossless tiers: a FREE driver-side Bonferroni
+      bound from the materialized freq frame's head
+      (_basket_floor_bonferroni — fires on extreme skew), and the
+      phase-A restricted pair-count pass, now GATED on head coverage
+      (_BASKET_HEAD_COVERAGE) because on uniform corpora its ~full
+      extra read of the baskets bought a floor of 2 that never
+      filtered anything (VERDICT r7 #4: ~25 s at 1000x, 2x at
+      sf0.1). On a skewed real corpus the head covers most
+      instances, phase A runs, and L is large enough to cut the
+      exchange itself."""
     t = load_tables(spark, sf_dir)
     baskets = materialize(
         t["lineitem"]
@@ -322,49 +357,73 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.count("*").alias("f"))
     )
-    # Phase A: support floor from the top-M item pool. Restriction via
-    # explode + broadcast semi-join + regroup: only the top-M items'
-    # instances (~M x avg-freq rows) ride the small regroup exchange.
-    # The first cut of this pass intersected every basket with a
-    # broadcast M-element array in-row; Spark's array_intersect builds
-    # a hash set per ROW, so the full corpus paid M set-inserts per
-    # basket — measured as most of a 260 s phase-A overhead at 1000x.
-    top_parts = freq.orderBy(F.col("f").desc(), "part").limit(_BASKET_TOPM)
     pair_structs = (
         "flatten(transform(parts, (a, i) ->"
         " transform(slice(parts, i + 2, size(parts)),"
         " b -> struct(a AS part_a, b AS part_b))))"
     )
-    top_baskets = (
-        baskets.select("l_orderkey", F.explode("parts").alias("part"))
-        .join(F.broadcast(top_parts.select("part")), "part")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("part")).alias("parts"))
-    )
-    floor_row = (
-        top_baskets.filter(F.size("parts") >= 2)
-        .select(F.explode(F.expr(pair_structs)).alias("p"))
-        .groupBy("p")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), "p.part_a", "p.part_b")
-        .limit(100)
-        .agg(
-            F.when(F.count("*") >= 100, F.min("n")).otherwise(F.lit(1)).alias("L")
-        )
-        .collect()
-    )
-    support_floor = int(floor_row[0]["L"] or 1)
-    stats = freq.agg(
+    # Support floor, two tiers (round 8, VERDICT r7 #4). Tier 1 is
+    # FREE: the Bonferroni floor from the already-materialized freq
+    # frame's head (one TakeOrdered collect of _BASKET_TOPM rows + two
+    # 1-row aggregates — the accepted driver-side-scalar pattern).
+    # Tier 2, the phase-A pair-count pass over top-M-item baskets, is
+    # a full extra read of the DISK_ONLY baskets (~25 s at 1000x, and
+    # it DOUBLED the sf0.1 wall) — so it runs only when the head pool
+    # covers >= _BASKET_HEAD_COVERAGE of item instances, the regime
+    # where its sharper floor can actually beat Bonferroni by enough
+    # to matter. On uniform corpora (TPC-H: head covers ~5%, phase-A
+    # floor measured 2 vs min freq 11 — it never filtered anything)
+    # the gate skips straight past the wasted pass. Both floors are
+    # individually lossless, so max() of whatever ran is lossless.
+    head = freq.orderBy(F.col("f").desc(), "part").limit(_BASKET_TOPM).collect()
+    gstats = freq.agg(
         F.count("*").alias("n_parts"),
-        F.count_if(F.col("f") >= support_floor).alias("n_qual"),
+        F.sum("f").alias("n_inst"),
         F.min("part").alias("min_part"),
         F.max("part").alias("max_part"),
     ).collect()[0]
+    n_baskets = baskets.count()
+    head_fs = [int(r["f"]) for r in head]
+    support_floor = _basket_floor_bonferroni(head_fs, n_baskets)
+    coverage = sum(head_fs) / max(int(gstats["n_inst"]), 1)
+    if coverage >= _BASKET_HEAD_COVERAGE:
+        top_parts = spark.createDataFrame(
+            [(r["part"],) for r in head], ["part"]
+        )
+        top_baskets = (
+            baskets.select("l_orderkey", F.explode("parts").alias("part"))
+            .join(F.broadcast(top_parts), "part")
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("part")).alias("parts"))
+        )
+        floor_row = (
+            top_baskets.filter(F.size("parts") >= 2)
+            .select(F.explode(F.expr(pair_structs)).alias("p"))
+            .groupBy("p")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "p.part_a", "p.part_b")
+            .limit(100)
+            .agg(
+                F.when(F.count("*") >= 100, F.min("n")).otherwise(F.lit(1)).alias("L")
+            )
+            .collect()
+        )
+        support_floor = max(support_floor, int(floor_row[0]["L"] or 1))
+    stats = {
+        "n_parts": int(gstats["n_parts"]),
+        "min_part": gstats["min_part"],
+        "max_part": gstats["max_part"],
+    }
+    n_qual = (
+        freq.filter(F.col("f") >= support_floor).count()
+        if support_floor > 1
+        else stats["n_parts"]
+    )
     src = baskets
     if (
         support_floor > 1
-        and stats["n_qual"] < stats["n_parts"]
-        and stats["n_qual"] <= _BASKET_QUAL_CAP
+        and n_qual < stats["n_parts"]
+        and n_qual <= _BASKET_QUAL_CAP
     ):
         qual = freq.filter(F.col("f") >= support_floor).select("part")
         src = (
@@ -655,6 +714,7 @@ _TFIDF_ORACLE = f"""
 
 
 @register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+@expanding
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document. Three aggregates over the token
     explosion — term frequency (keyed by doc), document frequency

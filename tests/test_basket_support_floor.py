@@ -130,3 +130,47 @@ def test_wide_partkeys_fall_back_to_struct_key(spark, tmp_path_factory):
     rows.append((60, base + 100))
     d = _write_dir(tmp_path_factory.mktemp("basket_wide"), rows)
     assert _spark_rows(spark, d) == _oracle_rows(d)
+
+
+def test_bonferroni_floor_is_lossless_on_random_corpora():
+    """Round-8 tier-1 floor: on random corpora the driver-side
+    Bonferroni bound must never exceed c100 (the 100th-highest true
+    pair count, or 1 when fewer than 100 pairs exist) — that is the
+    property the broadcast filter's losslessness proof rides on."""
+    import itertools
+    import random
+    from collections import Counter
+
+    from mapreducecore_spark.queries.pipeline import _basket_floor_bonferroni
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        n_items = rng.randint(5, 40)
+        n_baskets = rng.randint(5, 60)
+        baskets = [
+            rng.sample(range(n_items), rng.randint(2, min(6, n_items)))
+            for _ in range(n_baskets)
+        ]
+        freq = Counter(p for b in baskets for p in set(b))
+        pair_counts = Counter(
+            pair
+            for b in baskets
+            for pair in itertools.combinations(sorted(set(b)), 2)
+        )
+        counts = sorted(pair_counts.values(), reverse=True)
+        c100 = counts[99] if len(counts) >= 100 else 1
+        floor = _basket_floor_bonferroni(list(freq.values()), n_baskets)
+        assert floor <= max(c100, 1), (seed, floor, c100)
+
+
+def test_bonferroni_floor_fires_on_extreme_skew():
+    """Head items present in ~every basket: the inclusion-exclusion
+    bound must produce a floor > 1 with zero cluster work."""
+    from mapreducecore_spark.queries.pipeline import _basket_floor_bonferroni
+
+    n_baskets = 1000
+    freqs = [990] * 20 + [3] * 500  # 20 items in 99% of baskets
+    floor = _basket_floor_bonferroni(freqs, n_baskets)
+    # any two head items co-occur in >= 990 + 990 - 1000 = 980 baskets;
+    # C(20,2) = 190 pairs >= 100, so the floor is the 100th bound.
+    assert floor == 980

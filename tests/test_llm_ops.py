@@ -233,3 +233,56 @@ def test_feature_vectors_compose_with_similarity(spark, sf_dir):
     assert len(rows) == 10
     for r in rows:
         assert abs(r["self_sim"] - 1.0) < 1e-9  # self-cosine == 1
+
+
+def test_wide_lsh_code_width_identity(spark):
+    """Corpus-adaptive code widths (round 8): a b-bit code generated
+    directly (the Spark side) must equal the MAX_BITS code reduced
+    modulo 2^b (the DuckDB oracle's data-dependent-width form), for
+    every width on the ladder, on both engines, over random vectors.
+    This is the identity the semdedup oracle's semmask CTE rides on."""
+    import random
+
+    import duckdb
+
+    from mapreducecore_spark.llm.similarity import (
+        MAX_BITS,
+        add_lsh_codes,
+        duck_tables_select,
+    )
+
+    rng = random.Random(20260816)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "emb"]).selectExpr(
+        "vec_id", "transform(emb, x -> CAST(x AS DOUBLE)) AS emb"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, [{', '.join(repr(x) for x in emb)}]::DOUBLE[])"
+            for i, emb in rows
+        )
+        + ") t(vec_id, emb)"
+    )
+    wide = add_lsh_codes(df, bits=MAX_BITS)
+    for bits in (8, 11, 13, 16):
+        narrow = {
+            (r["vec_id"], r["tbl"]): r["code"]
+            for r in add_lsh_codes(df, bits=bits).collect()
+        }
+        masked = {
+            (r["vec_id"], r["tbl"]): r["code"] % (1 << bits)
+            for r in wide.collect()
+        }
+        assert narrow == masked, f"spark mask identity broke at bits={bits}"
+        duck = {
+            (vid, tbl): code
+            for vid, tbl, code in con.execute(
+                f"SELECT vec_id, tbl, code FROM (SELECT vec_id, "
+                f"{duck_tables_select('emb', mask=str(1 << bits))} FROM v)"
+            ).fetchall()
+        }
+        assert duck == narrow, f"cross-engine code mismatch at bits={bits}"
