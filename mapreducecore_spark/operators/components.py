@@ -25,6 +25,7 @@ scalar per round, not a second shuffle.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,7 +87,7 @@ def connected_components(
     def durable(df: DataFrame, round_no: int) -> DataFrame:
         if reliable_checkpoint_dir is not None and round_no % checkpoint_every == 0:
             return df.checkpoint(eager=True)  # reliable: survives executor loss
-        return materialize(df)
+        return materialize(df, big=True)  # corpus-sized per-round labels
     # Materialize the PAIRS (not the doubled edge list): both union
     # branches then reread one checkpointed copy half the size of the
     # symmetric edge list. The doubled list is hash-partitioned on the
@@ -100,7 +101,21 @@ def connected_components(
     # the 100x graph; with the cached exchange the edges shuffle ONCE
     # and each round exchanges only the (small) frontier and the
     # propagated messages.
-    pairs = materialize(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    #
+    # ALL of this loop's reuse frames (pairs, edges, per-round labels,
+    # the final label checkpoint) are CORPUS-SIZED and therefore ride
+    # DISK_ONLY per the materialize() protected-storage rule (round 8):
+    # memory-resident, they pinned ~2 GB of protected storage across
+    # rounds, and dedup_neardup_keeper's LATE quality text scan — 32
+    # concurrent ~100 MB column-batch allocations, unmanaged by the
+    # memory manager — then OOMed the fourth-decade run under EITHER
+    # advisory setting (BASELINE.md round-8 notes). The cache benefit
+    # that matters here is the partitioning staying VISIBLE to Catalyst
+    # (persist keeps the plan), which DISK_ONLY preserves; memory
+    # residency was never the win.
+    pairs = materialize(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")), big=True
+    )
     if n_partitions is None:
         # Explicit repartition(N, key) is a HARD width AQE cannot
         # rescale, so N must track the data: the round-6 three-decade
@@ -116,17 +131,18 @@ def connected_components(
     edges = (
         pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(n_partitions, "u")
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     if resume_from is not None:
-        labels = materialize(resume_from.select("node", "label"))
+        labels = materialize(resume_from.select("node", "label"), big=True)
     else:
         # Seed labels with min(node, neighbors) — one aggregate that does
         # the work of the whole first propagation round.
-        labels = materialize(
+        labels = materialize(  # corpus-sized seed labels
             edges.groupBy(F.col("u").alias("node")).agg(
                 F.least(F.first("u"), F.min("v")).alias("label")
-            )
+            ),
+            big=True,
         )
 
     # Delta iteration: a node's label can only improve via a neighbor
@@ -178,7 +194,7 @@ def connected_components(
         # label blocks and provably no longer references the
         # unpersisted edge exchange, so the cache benefit can't
         # silently disappear into a full recomputation (ADVICE r4).
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     finally:
         # The eager checkpoint above guarantees the returned labels no
         # longer reference the cached edge exchange — release the

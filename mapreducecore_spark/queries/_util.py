@@ -128,7 +128,17 @@ def expanding_session(spark):
     re-entry (a family helper calling another family entry point)
     returns the same clone. An explicit SPARK_GRAFT_ADVISORY_PARTITION
     override wins — the operator asked for a specific global value, so
-    no per-query second-guessing."""
+    no per-query second-guessing.
+
+    MEMBERSHIP IS MEASURED, NOT ASSUMED (round-8 3000x sweeps): the
+    smaller advisory means ~4x more concurrent reduce tasks, and a
+    query that runs TWO corpus text scans concurrently (tfidf's tf+df,
+    candidate_recall's truth+candidates) then OOMs — the scans' ~100 MB
+    column-batch allocations are unmanaged by the memory manager and
+    lose to the extra task concurrency (GCLocker retry storms,
+    BASELINE.md round-8 notes). Single-scan-pipeline dedup queries
+    measured 1.4-2.6x faster. Decorate a new query with @expanding
+    only after a fourth-decade run proves it survives the clone."""
     if os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION"):
         return spark
     if getattr(spark, "_graft_expanding", False):
@@ -162,8 +172,21 @@ def expanding(fn):
     return wrapper
 
 
-def materialize(df, big: bool = False):
+def materialize(df, big: bool = False, eager: bool = False):
     """Compute once, reuse across self-join branches.
+
+    eager=True additionally forces the computation NOW as its own job
+    — a JOB BARRIER. Lazy checkpoints materialize inside the first
+    consuming job, so two INDEPENDENT consumer stages in that job can
+    both compute the parent concurrently (the cache race): for a frame
+    whose computation is a raw TEXT SCAN that is exactly the
+    concurrent-scan memory squeeze the barrier exists to prevent —
+    each 32-task scan allocates ~100 MB column batches OUTSIDE the
+    memory manager, and two at once OOMed dedup_candidate_recall's
+    fourth-decade run even at the default advisory (BASELINE.md round
+    8). Eager costs one extra pass over the frame; use it when the
+    frame's own computation is scan-heavy and it feeds >1 independent
+    branch of one action.
 
     A DataFrame referenced on both sides of a join is otherwise fully
     recomputed per branch (Spark plans are trees, not DAGs) — for the
@@ -203,7 +226,7 @@ def materialize(df, big: bool = False):
     if ckpt_dir:
         sc = df.sparkSession.sparkContext
         sc.setCheckpointDir(ckpt_dir)
-        return df.persist(level).checkpoint(eager=False)
+        return df.persist(level).checkpoint(eager=eager)
     if big:
-        return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    return df.localCheckpoint(eager=False)
+        return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
+    return df.localCheckpoint(eager=eager)

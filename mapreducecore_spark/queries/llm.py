@@ -663,7 +663,6 @@ _JACCARD_ORACLE = _jaccard_oracle()
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
-@expanding
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted shingle index:
     join docs on shared 4-token shingle, count intersections, compute
@@ -1084,7 +1083,6 @@ _DEDUP_RECALL_ORACLE = f"""
 
 
 @register("dedup_candidate_recall", oracle=_DEDUP_RECALL_ORACLE)
-@expanding
 def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-generator quality as a first-class operator (the dedup
     twin of ann_recall_eval): recall of the MinHash-LSH candidate pairs
@@ -1103,7 +1101,20 @@ def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     affords. Sampling by text hash keeps exact-dup classes whole, so
     representatives agree between the two pipelines."""
     t = load_tables(spark, sf_dir)
-    sdocs = spread(t["documents"]).filter(F.expr(_RECALL_SAMPLE_SPARK))
+    # EAGER barrier on the sampled text (round 8): truth and candidates
+    # are independent branches of one action, so a lazy sdocs would be
+    # text-SCANNED by both branches' map stages CONCURRENTLY — two
+    # 32-task scans each allocating ~100 MB column batches outside the
+    # memory manager, which OOMed the fourth-decade run even at the
+    # default advisory. The eager checkpoint scans the parquet once,
+    # solo, and both pipelines then read compact DISK_ONLY blocks.
+    sdocs = materialize(
+        spread(t["documents"])
+        .filter(F.expr(_RECALL_SAMPLE_SPARK))
+        .select("doc_id", "text"),
+        big=True,
+        eager=True,
+    )
     truth = _jaccard_truth_pairs(sdocs).select("doc_a", "doc_b")
     cand = _minhash_band_pairs(
         sdocs.selectExpr("doc_id", f"{_TOKS} AS toks")

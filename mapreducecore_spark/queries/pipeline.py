@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from mapreducecore_spark.catalog import load_tables
 from mapreducecore_spark.queries import register
-from mapreducecore_spark.queries._util import expanding, materialize, spread
+from mapreducecore_spark.queries._util import materialize, spread
 from mapreducecore_spark.queries.llm import _TOKS, _TOKS_DUCK, _shingles_duck, _shingles_expr
 
 # Sequential-fold inner product — identical expression tree on both
@@ -714,7 +714,6 @@ _TFIDF_ORACLE = f"""
 
 
 @register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
-@expanding
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document. Three aggregates over the token
     explosion — term frequency (keyed by doc), document frequency
@@ -727,7 +726,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver). AQE converts the join to broadcast at runtime whenever
     df is actually under the threshold, so small corpora still get
     the broadcast plan without hard-coding an assumption that breaks
-    at scale."""
+    at scale.
+
+    NOT on the expanding_session advisory clone (round 8, measured):
+    the 16 MB advisory that wins 2.6x on the minhash family OOMed
+    this query at 3000x — tf and df are TWO concurrent text-scan
+    branches, and ~4x more concurrent reduce tasks squeezed execution
+    memory under the scan stages' ~100 MB column-batch allocations
+    (GCLocker retry storm, BypassMergeSortShuffleWriter stack). Under
+    the default advisory the same corpus completes in 188 s
+    (BASELINE.md round-8 notes)."""
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)

@@ -16,13 +16,12 @@ from mapreducecore_spark.queries import REGISTRY, _PRIORITY, _load_all, all_quer
 
 WINDOW = 50
 
-# The round-7 window composition (VERDICT r6 #2): 8 flagship/streaming
-# keepers + the 7 queries reworked after their last green driver row
-# (r6 reworks: tfidf/semdedup/ngram-jaccard/components/weighted-sample;
-# r7 value-changing reworks: semdedup sampled training, candidate-recall
-# sampled truth, basket packed-key exchange) + 35 staleness refreshes
-# whose newest green row dated to r1/r2.
-ROUND7_REQUIRED = {
+# The round-8 window composition (VERDICT r7 #6): 8 flagship/streaming
+# keepers + the 12 queries reworked this round (semdedup corpus-adaptive
+# LSH code width; basket two-tier support floor; the minhash family +
+# tfidf now binding to the expanding-session advisory clone) + 30
+# staleness refreshes whose newest green row dated to r1/r2.
+ROUND8_REQUIRED = {
     # keepers
     "dedup_minhash_lsh",
     "dedup_neardup_keeper",
@@ -32,14 +31,19 @@ ROUND7_REQUIRED = {
     "stream_live_tumbling_counts",
     "stream_live_append_watermark",
     "stream_live_foreachbatch_sink",
-    # reworked after their last green row — must re-attest
-    "tfidf_top_terms",
+    # reworked this round — must re-attest on the shipped code
     "semdedup_prune",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "sample_weighted_by_source",
-    "dedup_candidate_recall",
     "basket_part_pairs",
+    "tfidf_top_terms",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_verified_pairs",
+    "dedup_candidate_recall",
+    "minhash_estimate_accuracy",
+    "dedup_connected_components",
+    "dedup_savings_report",
+    "dedup_incremental_minhash",
+    "dedup_incremental_persisted",
+    "dedup_band_index_build",
 }
 
 
@@ -53,10 +57,10 @@ def test_priority_has_no_duplicates():
     assert len(_PRIORITY) == len(set(_PRIORITY))
 
 
-def test_round7_window_membership():
+def test_round8_window_membership():
     window = set(list(all_queries())[:WINDOW])
-    missing = ROUND7_REQUIRED - window
-    assert not missing, f"declared round-7 entries fell out of the window: {missing}"
+    missing = ROUND8_REQUIRED - window
+    assert not missing, f"declared round-8 entries fell out of the window: {missing}"
 
 
 @pytest.mark.parametrize("sf_dir_fixture", ["sf_dir"])
