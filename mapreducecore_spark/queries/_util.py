@@ -153,6 +153,29 @@ def expanding_session(spark):
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             str(_EXPAND_ADVISORY_BYTES),
         )
+        # Text scans want smaller splits than the 128 MB parquet
+        # default: a fat split's ~100 MB decoded column batches plus
+        # the per-split partial-aggregation state is what every
+        # fourth/fifth-decade OOM and GC storm in this family traced
+        # back to. On MANY-file corpora spread() is a no-op (>= 16
+        # files), so split size is the only lever — the fifth-decade
+        # flagship measured 780.8 -> 624.3 s from this alone (200
+        # x ~30 MB splits instead of 65 x ~92 MB; BASELINE.md round
+        # 8). Single-file corpora are unaffected: spread() already
+        # re-spreads them at ~32 MB/partition.
+        clone.conf.set("spark.sql.files.maxPartitionBytes", str(32 << 20))
+        # NOT raised here, with the scar to prove it (round 8):
+        # spark.sql.objectHashAggregate.sortBased.fallbackThreshold.
+        # The bucket-collect's sort-based fallback (128-key default)
+        # spills the expanded payload to disk, and the fifth-decade
+        # run is disk-bound on one spindle because of it — but the
+        # threshold is ONE conf for BOTH aggregation halves, and the
+        # MAP-side partial collect reads upstream-sized input (128 MB
+        # parquet splits, no advisory bound): raising it to 2^22
+        # OOMed the 3000x flagship outright. The reduce-side-only
+        # bound that would make it safe does not exist as a conf; the
+        # spill is the correct trade on a single-disk box and a real
+        # cluster spreads it across spindles.
         clone._graft_expanding = True
         spark._graft_expand_clone = clone
     return clone

@@ -895,6 +895,15 @@ def _minhash_member_rows(
     # bucket build both consume it (Spark plans are trees). n_sh =
     # |distinct hashes| (oracle mirrors): deriving it from hs spares
     # the Expand shuffle COUNT(DISTINCT shingle) costs.
+    # NOT eager (round 8, measured both ways): when spread() has put an
+    # exchange under this pipeline, shuffle reuse already dedups the
+    # heavy map work across the consumer branches and eager only added
+    # a block write+reread (3000x: 139 s lazy vs 166 s eager); on the
+    # many-file fifth-decade corpus (no spread exchange) eager's extra
+    # resident blocks instead blew the single box's DISK ceiling. The
+    # duplicate narrow recompute that remains there is bounded by the
+    # post-exchange reduce work, and the 32 MB scan splits on the
+    # expanding clone recover most of it (781 -> 624 s at 10000x).
     mhs_agg = F.array(
         *[F.min(F.expr(_mh_formula("h", s))) for s in range(_MINHASH_SEEDS)]
     ).alias("mhs")

@@ -14,6 +14,7 @@ Usage: python tools/run_once.py <sf_dir> <query> [factor]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -36,6 +37,17 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.port": str(metrics.DEFAULT_UI_PORT),
+            # SPARK_GRAFT_EXTRA_CONF="k=v;k=v" for run-scoped knobs the
+            # sweep needs (e.g. spark.cleaner.periodicGC.interval=120s
+            # at the fifth decade: one job's early-stage shuffle files
+            # are dead after the banded checkpoint truncates lineage,
+            # but only a driver GC lets the ContextCleaner delete them
+            # — without it the 10000x run filled the disk).
+            **dict(
+                kv.split("=", 1)
+                for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")
+                if "=" in kv
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
