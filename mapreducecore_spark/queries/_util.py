@@ -164,6 +164,15 @@ def expanding_session(spark):
         # 8). Single-file corpora are unaffected: spread() already
         # re-spreads them at ~32 MB/partition.
         clone.conf.set("spark.sql.files.maxPartitionBytes", str(32 << 20))
+        # ... and smaller READER BATCHES for the same reason: the
+        # vectorized reader's default 4096-row batch reaches ~100 MB
+        # on a long-document tail (observed as 12.5M-word single
+        # allocations), and 32 concurrent scan tasks then race the
+        # GCLocker — dedup_savings_report's 3000x run OOMed on one of
+        # two otherwise-identical attempts. 512-row batches cap the
+        # per-task allocation ~8x; reader overhead is noise next to
+        # the per-document shingle/minhash CPU this family does.
+        clone.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
         # NOT raised here, with the scar to prove it (round 8):
         # spark.sql.objectHashAggregate.sortBased.fallbackThreshold.
         # The bucket-collect's sort-based fallback (128-key default)

@@ -379,7 +379,18 @@ def _prune_cluster_pdf(pdf):
     nrm = pdf["nrm"].to_numpy()
     pruned_by = [None] * len(ids)
     for j in range(1, len(ids)):
-        q = np.floor(X[:j] * X[j] * _SEM_Q).astype(np.int64).sum(axis=1)
+        scaled = X[:j] * X[j] * _SEM_Q
+        # Loud range check (ADVICE r7): .astype(np.int64) silently
+        # WRAPS a scaled term >= 2^63 while the oracle's CAST(... AS
+        # BIGINT) raises Out of Range — extreme-magnitude embeddings
+        # (|a_i*b_i| >= 2^23) must fail identically on both engines,
+        # not diverge quietly.
+        if scaled.size and float(np.abs(scaled).max()) >= 2.0**63:
+            raise ValueError(
+                "semdedup prune: quantized dot term out of int64 range "
+                "(embedding magnitudes too large for the 2^40 scale)"
+            )
+        q = np.floor(scaled).astype(np.int64).sum(axis=1)
         denom = nrm[:j] * nrm[j]
         ok = denom != 0
         cos = np.zeros(j)
