@@ -11,6 +11,7 @@ source here.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -36,25 +37,18 @@ BROADCAST_DIMS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# (appId, session tag, sf_dir) -> table dict. DataFrames are lazy
+# session object -> {sf_dir -> table dict}. DataFrames are lazy
 # plans — caching them skips 10 parquet-footer/analysis round-trips per
 # query call (every registry query starts with load_tables), which adds
-# up across a 170-query bench run. Keyed by applicationId so a
-# restarted session never sees another JVM's plans, AND by a per-
-# SparkSession tag (round 8): a DataFrame is bound to the session that
-# read it, so the expanding_session clone (per-query AQE advisory)
-# must not be handed frames built on the base session — the clone's
-# conf would silently never apply at action time.
-_TABLE_CACHE: dict[tuple[str, int, str], dict[str, DataFrame]] = {}
-_SESSION_TAGS = iter(range(1, 1 << 62))
-
-
-def _session_tag(spark: SparkSession) -> int:
-    tag = spark.__dict__.get("_graft_catalog_tag")
-    if tag is None:
-        tag = next(_SESSION_TAGS)
-        spark._graft_catalog_tag = tag
-    return tag
+# up across a 170-query bench run. Keyed WEAKLY on the SparkSession
+# object itself (ADVICE r8: the former (appId, tag, sf_dir) key was
+# never evicted, so a host process that churns sessions leaked plan
+# references for its lifetime): a DataFrame is bound to the session
+# that read it — the expanding_session clone (per-query AQE advisory)
+# must not be handed frames built on the base session, and object
+# identity distinguishes clones exactly as the tag did — and when a
+# session is dropped, its entry (and every plan in it) goes with it.
+_TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def load_tables(
@@ -63,8 +57,7 @@ def load_tables(
     """Load every table in `sf_dir`; optionally register temp views."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     tune_session(spark)
-    key = (spark.sparkContext.applicationId, _session_tag(spark), sf_dir)
-    cached = _TABLE_CACHE.get(key)
+    cached = _TABLE_CACHE.setdefault(spark, {}).get(sf_dir)
     if cached is not None:
         if register:
             for name, df in cached.items():
@@ -79,7 +72,7 @@ def load_tables(
         out[name] = df
         if register:
             df.createOrReplaceTempView(name)
-    _TABLE_CACHE[key] = dict(out)
+    _TABLE_CACHE[spark][sf_dir] = dict(out)
     return out
 
 

@@ -43,17 +43,27 @@ def _hyperplane(table: int, i: int) -> tuple[int, int]:
     every default-BITS caller — and every static oracle SQL string
     built from it — is byte-identical to the pre-parameterized form.
     Bits 9..16 draw from a disjoint reserve pool of +16-offset pairs
-    (r, r + 16) with r = table*8 + (i - 8) in 1..32: distinct from the
-    +32 primaries and from each other, so a wide code's extra bits are
-    new hyperplanes, not repeats. Wide codes exist for the
-    corpus-adaptive semdedup assignment (bits grows with K so
-    centroids-per-bucket stays bounded); a b-bit code equals the
-    MAX_BITS code modulo 2^b by bit-positional construction, which is
-    how the DuckDB oracle expresses a data-dependent width."""
+    (r, r + 16) with r rotated one table-band forward:
+    r = ((table*8 + (i-8) - 1 + 8) mod 32) + 1. The rotation makes a
+    table's reserve coordinates DISJOINT from its own primary {lo, hi}
+    set (ADVICE r8: without it, reserve bit i shared its lo coordinate
+    with primary bit i-8, correlating every wide-code extra bit with an
+    existing bit and splitting buckets less evenly on correlated
+    embeddings); table t's reserve r-band {t'*8+1..t'*8+8, t'=(t+1)%4}
+    never meets its primary lo-band {t*8+1..t*8+8} or hi-band (+32),
+    and r+16 lands outside both as well (verified exhaustively in
+    tests/test_llm_ops.py). Cross-table reuse remains (the pool is only
+    64 coordinates wide) but union-recall across tables is insensitive
+    to it. Wide codes exist for the corpus-adaptive semdedup assignment
+    (bits grows with K so centroids-per-bucket stays bounded); a b-bit
+    code equals the MAX_BITS code modulo 2^b by bit-positional
+    construction, which is how the DuckDB oracle expresses a
+    data-dependent width — the oracle calls this same function, so the
+    rotation holds identically in both engines."""
     if i <= BITS:
         lo = table * BITS + i
         return lo, lo + _HALF
-    r = table * BITS + (i - BITS)
+    r = ((table * BITS + (i - BITS) - 1 + BITS) % 32) + 1
     return r, r + 16
 
 

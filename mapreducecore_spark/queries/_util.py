@@ -84,6 +84,7 @@ def spread(df, min_parts: int = 16):
     pre-AQE shuffle ceiling was (BASELINE.md round 6). Non-local
     paths, where sizes are not cheaply knowable, keep min_parts.
     """
+    _assert_scan_adjacent(df)
     files = df.inputFiles()
     if len(files) >= min_parts:
         return df
@@ -103,7 +104,59 @@ def spread(df, min_parts: int = 16):
     return df.repartition(n, F.monotonically_increasing_id())
 
 
+# Nodes allowed between spread() and its scan: narrow, order-preserving
+# wrappers over a deterministic leaf. Anything wide (Aggregate, Join,
+# Repartition, Sort, Window...) breaks the retry-stability argument
+# above — monotonically_increasing_id is only deterministic when the
+# parent's row order is.
+_SPREAD_SAFE_NODES = (
+    "Project",
+    "Filter",
+    "Relation",
+    "LogicalRDD",
+    "LocalRelation",
+    "SubqueryAlias",
+    "View",
+    "Range",
+)
+
+
+def _assert_scan_adjacent(df) -> None:
+    """Mechanical guard for spread()'s invariant (VERDICT r8 #5 /
+    ADVICE r7 #2): the argument plan must be a bare relation or a
+    Project/Filter chain over one. Enforced on EVERY call — the check
+    is one render of the analyzed plan (no job), so the whole test
+    suite polices every call site for free. Opt out with
+    SPARK_GRAFT_CHECK_SPREAD=0 only if a plan shape is known-safe but
+    not yet in the allowlist."""
+    if os.environ.get("SPARK_GRAFT_CHECK_SPREAD", "1") == "0":
+        return
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+        if node and not node.startswith(_SPREAD_SAFE_NODES):
+            raise AssertionError(
+                "spread() must sit directly on a scan (retry-stability "
+                f"invariant, see docstring); found node {node!r} in:\n{plan}"
+            )
+
+
 _EXPAND_ADVISORY_BYTES = 16 << 20  # measured best for ~3-4x expanding stages
+
+
+def _env_extra_conf_advisory() -> bool:
+    """True if the operator pinned an AQE advisory through the
+    SPARK_GRAFT_EXTRA_CONF passthrough (tools/run_once.py). ADVICE r8:
+    that knob lands in the base conf, so without this check the clone's
+    16 MB override would silently replace it on @expanding queries —
+    two documented knobs for the same conf with different precedence.
+    An explicit operator pin wins via either spelling."""
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    return any(
+        kv.split("=", 1)[0].strip() == "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        for kv in extra.split(";")
+        if "=" in kv
+    )
 
 
 def expanding_session(spark):
@@ -139,7 +192,7 @@ def expanding_session(spark):
     BASELINE.md round-8 notes). Single-scan-pipeline dedup queries
     measured 1.4-2.6x faster. Decorate a new query with @expanding
     only after a fourth-decade run proves it survives the clone."""
-    if os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION"):
+    if os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION") or _env_extra_conf_advisory():
         return spark
     if getattr(spark, "_graft_expanding", False):
         return spark

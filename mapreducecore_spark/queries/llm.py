@@ -1129,9 +1129,22 @@ def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdocs.selectExpr("doc_id", f"{_TOKS} AS toks")
     ).select("doc_a", "doc_b")
     # Both sides are consumed twice (semi-join + count); materialize
-    # BOTH so neither shingling pipeline re-executes.
-    truth = materialize(truth)
-    cand = materialize(cand)
+    # BOTH so neither shingling pipeline re-executes. EAGER (round 9,
+    # VERDICT r8 #3): eager checkpoints sequence the two sides as
+    # SEPARATE jobs — truth's exact gram index (the ~35 GB-at-10000x
+    # transient that disk-blocked the fifth decade) is built, reduced
+    # to its tiny pair set, and its shuffle files become collectible
+    # BEFORE the candidate side's minhash shuffles start, so peak
+    # transient disk is max(truth, cand), not their sum. Deletion
+    # between stages needs a driver GC — the scale protocol sets
+    # spark.cleaner.periodicGC.interval=60s via SPARK_GRAFT_EXTRA_CONF
+    # (same knob the 10000x flagship needed, BASELINE.md round 8); on
+    # a real cluster each executor's spindles make this a non-issue.
+    # The pair frames themselves are tiny, so the eager flip re-orders
+    # work rather than adding any (measured 3000x control in
+    # BASELINE.md round 9).
+    truth = materialize(truth, eager=True)
+    cand = materialize(cand, eager=True)
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     return (
         truth.agg(F.count("*").cast("bigint").alias("n_truth"))

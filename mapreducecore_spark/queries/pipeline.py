@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from mapreducecore_spark.catalog import load_tables
 from mapreducecore_spark.queries import register
-from mapreducecore_spark.queries._util import materialize, spread
+from mapreducecore_spark.queries._util import expanding, materialize, spread
 from mapreducecore_spark.queries.llm import _TOKS, _TOKS_DUCK, _shingles_duck, _shingles_expr
 
 # Sequential-fold inner product — identical expression tree on both
@@ -714,6 +714,7 @@ _TFIDF_ORACLE = f"""
 
 
 @register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+@expanding
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document. Three aggregates over the token
     explosion — term frequency (keyed by doc), document frequency
@@ -728,31 +729,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast plan without hard-coding an assumption that breaks
     at scale.
 
-    NOT on the expanding_session advisory clone (round 8, measured):
-    the 16 MB advisory that wins 2.6x on the minhash family OOMed
-    this query at 3000x — tf and df are TWO concurrent text-scan
-    branches, and ~4x more concurrent reduce tasks squeezed execution
-    memory under the scan stages' ~100 MB column-batch allocations
-    (GCLocker retry storm, BypassMergeSortShuffleWriter stack). Under
-    the default advisory the same corpus completes in 188 s
-    (BASELINE.md round-8 notes)."""
+    Round 9 (VERDICT r8 #4): df is now DERIVED FROM tf — tf's key set
+    IS the distinct (doc_id, token) pairs the old
+    `toks.distinct().groupBy(token)` recomputed from scratch — so the
+    two branches share a byte-identical shuffle subtree
+    (HashAggregate(partial) -> Exchange(hash(doc_id, token))) and
+    AQE's stage reuse materializes the scan + tokenize + first shuffle
+    ONCE. That removes BOTH (a) the second full corpus text scan that
+    made this query a two-concurrent-scan shape (the round-8
+    expanding-clone OOM mechanism: two scans' unmanaged ~100 MB
+    column-batch allocations losing to 4x task concurrency) and (b)
+    the distinct()'s entire extra shuffle of the exploded pairs — with
+    NO materialization (the token explosion stays un-checkpointed: at
+    the 1000x sweep BOTH storage forms of a checkpoint of it died —
+    memory blocks via GC-thrash, DISK_ONLY inside the block
+    serializer). Measured at 3000x (BASELINE.md round 9): the scan
+    stage runs once (one 2.91 GB tokenize exchange, read by both
+    consumers), 1000x wall 94.8 -> 84.9 s, and with the single-scan
+    shape the 16 MB expanding clone survives 2/2 at 3000x (184.0 /
+    202.0 s vs 209.0 s default in the same drift window — the round-8
+    OOM mechanism needed the second concurrent scan), so the query
+    joins @expanding per the membership gate."""
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"])
-    # Deliberately NOT materialized: the token explosion is
-    # corpus-sized, and BOTH storage forms of a checkpoint died at the
-    # 1000x sweep (memory blocks -> GC-thrash heap exhaustion; even
-    # DISK_ONLY OOMed inside the block serializer under 32 concurrent
-    # text-heavy scan tasks). Re-tokenizing once per consuming branch
-    # keeps each branch a pure streaming scan -> partial-agg pipeline
-    # with zero block storage — the regex split is cheap CPU next to
-    # any materialization of 150 rows/doc.
     toks = docs.selectExpr("doc_id", f"explode({_TOKS}) AS token")
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = toks.select("doc_id", "token").distinct().groupBy("token").agg(
-        F.count("*").alias("df")
-    )
+    # one row per (doc, token) in tf => COUNT(*) per token == the
+    # oracle's COUNT(DISTINCT doc_id); the tf lineage reused here is
+    # what makes the shared exchange canonically identical.
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.count()  # driver scalar, same role as the oracle's CROSS JOIN n
     scored = tf.join(df, "token").select(
         "doc_id",

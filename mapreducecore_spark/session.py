@@ -79,6 +79,44 @@ def default_master() -> str:
     return os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable by EXECUTOR-side Python workers.
+
+    In pure local[N] mode the python workers run with the driver JVM's
+    cwd, so the repo-root package resolves by accident of layout. On
+    any real cluster master — including local-cluster[W,C,M], whose
+    executors are separate JVMs in their own work dirs (round-9
+    multi-executor attestation found this the first time a pandas UDF
+    deserialized off-driver: ModuleNotFoundError) — the package must
+    travel with the job. addPyFile(zip) is the cluster-portable
+    mechanism (same path spark-submit --py-files uses: the zip is
+    fetched per-executor and prepended to the worker's sys.path);
+    a shared filesystem is NOT assumed. Zipped once per CONTEXT —
+    the guard lives on the SparkContext, not the session, because
+    newSession() clones (the expanding-advisory clone) share the
+    context's file registry and a second addPyFile of the same
+    filename from a fresh tempdir is rejected (round-9 full
+    local-cluster sim caught exactly that: 13 @expanding queries
+    erroring on 'already registered with a different path')."""
+    sc = spark.sparkContext
+    if sc.master == "local" or sc.master.startswith("local["):
+        return
+    if getattr(sc, "_graft_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    import mapreducecore_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(mapreducecore_spark.__file__))
+    base = os.path.join(tempfile.mkdtemp(prefix="graft_pkg_"), "mapreducecore_spark")
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="mapreducecore_spark"
+    )
+    sc.addPyFile(zip_path)
+    sc._graft_pkg_shipped = True
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (idempotent)."""
     for k, v in RUNTIME_CONFS.items():
@@ -86,6 +124,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable at runtime on this build — keep going
+    _ship_package(spark)
     return spark
 
 

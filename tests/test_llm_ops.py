@@ -286,3 +286,34 @@ def test_wide_lsh_code_width_identity(spark):
             ).fetchall()
         }
         assert duck == narrow, f"cross-engine code mismatch at bits={bits}"
+
+
+def test_reserve_hyperplanes_disjoint_from_primaries():
+    """ADVICE r8: each table's reserve pairs (bits 9..16) must touch no
+    coordinate of that table's own primary pairs (bits 1..8) — shared
+    coordinates correlate the extra bits and split buckets unevenly.
+    Exhaustive over the whole pool; also pins pair distinctness and the
+    64-dim coordinate bound."""
+    from mapreducecore_spark.llm.similarity import (
+        BITS,
+        MAX_BITS,
+        N_TABLES,
+        _hyperplane,
+    )
+
+    for t in range(N_TABLES):
+        primary = set()
+        for i in range(1, BITS + 1):
+            lo, hi = _hyperplane(t, i)
+            primary |= {lo, hi}
+        reserve_pairs = set()
+        reserve = set()
+        for i in range(BITS + 1, MAX_BITS + 1):
+            lo, hi = _hyperplane(t, i)
+            reserve_pairs.add((lo, hi))
+            reserve |= {lo, hi}
+        assert not (primary & reserve), (
+            f"table {t}: reserve coords {sorted(primary & reserve)} reuse primaries"
+        )
+        assert len(reserve_pairs) == MAX_BITS - BITS
+        assert all(1 <= c <= 64 for c in primary | reserve)

@@ -329,3 +329,31 @@ def test_sample_stratified_fractions_and_determinism(spark, sf_dir):
         if totals.get(k, 0) >= 200:  # enough mass for a rate check
             rate = counts[k] / totals[k]
             assert abs(rate - frac) < max(0.5 * frac, 0.03), (k, rate, frac)
+
+
+def test_spread_guard_rejects_non_scan_frames(spark, sf_dir):
+    """spread()'s retry-stability invariant (hash on
+    monotonically_increasing_id is only deterministic over a
+    deterministic parent row order) is now enforced mechanically on
+    every call (VERDICT r8 #5 / ADVICE r7 #2): a shuffled, aggregated,
+    or joined argument must raise, while the blessed
+    scan/Project/Filter shapes pass."""
+    from mapreducecore_spark.queries._util import spread
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # blessed shapes: bare scan, Project-over-scan, Filter-over-scan
+    spread(docs)
+    spread(docs.select("doc_id", "text"))
+    spread(docs.filter(F.col("doc_id") > 10).selectExpr("doc_id"))
+
+    for bad in (
+        docs.repartition(4),  # Repartition: round-robin order
+        docs.groupBy("source").count(),  # Aggregate
+        docs.select("doc_id").join(
+            docs.select(F.col("doc_id").alias("d2")),
+            F.col("doc_id") == F.col("d2"),
+        ),  # Join
+        docs.orderBy("doc_id"),  # Sort (range-partitioned on action)
+    ):
+        with pytest.raises(AssertionError, match="spread\\(\\) must sit directly"):
+            spread(bad)

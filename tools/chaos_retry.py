@@ -1,0 +1,139 @@
+"""Executor-loss / retry chaos attestation (VERDICT r8 #2).
+
+The engine's retry-stability claims are argued in docstrings —
+spread()'s hash-on-deterministic-id (queries/_util.py), exactly-once
+task commit (reference contract D7, master.h:295-300's dedup of
+re-executed task completions), and the cluster-durable checkpoint path
+in materialize() — but a local[32] run can never demonstrate them
+under a REAL executor loss. This tool does, under local-cluster mode
+(separate executor JVM processes, standalone master/worker):
+
+1. clean run: flagship `dedup_minhash_lsh` at sf0.01, rows collected;
+2. chaos run: the same query again, and ~30% into the job a live
+   CoarseGrainedExecutorBackend process is SIGKILLed. The kill loses
+   that executor's shuffle outputs and cached/checkpointed blocks, so
+   Spark must retry its tasks (and, on fetch failure, re-run parent
+   stages) on the replacement executor the worker relaunches;
+3. assert: the chaos run COMPLETES and its row set is byte-identical
+   (exact tuple equality, floats included) to the clean run's, and
+   the kill verifiably landed while the job was still running.
+
+Run with SPARK_GRAFT_RELIABLE_CHECKPOINT=<dir> to exercise the
+durable-checkpoint materialize() path under the same loss (a lost
+executor loses localCheckpoint blocks AND their truncated lineage —
+the reliable path is the one that must survive on a real cluster).
+
+Prints ONE JSON line; exit 0 = attested, 2 = assertion failed,
+3 = local-cluster unavailable in this environment (callers skip).
+
+Usage: python tools/chaos_retry.py [sf_dir] [query] [kill_after_sec]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import sys
+import threading
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+QUERY = sys.argv[2] if len(sys.argv) > 2 else "dedup_minhash_lsh"
+KILL_AFTER = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+
+
+def executor_pids(app_id: str) -> list[int]:
+    """Live CoarseGrainedExecutorBackend processes for this app, via
+    /proc (no psutil in the sandbox)."""
+    pids = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as fh:
+                cmd = fh.read().replace(b"\0", b" ").decode("utf-8", "replace")
+        except OSError:
+            continue
+        if "CoarseGrainedExecutorBackend" in cmd and app_id in cmd:
+            pids.append(int(entry))
+    return sorted(pids)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    try:
+        spark = (
+            SparkSession.builder.master(
+                os.environ.get("SPARK_GRAFT_CHAOS_MASTER", "local-cluster[2,8,4096]")
+            )
+            .appName("chaos-retry")
+            .config("spark.executor.memory", "3g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    except Exception as e:  # standalone-mode machinery absent
+        print(json.dumps({"unavailable": str(e)[:200]}))
+        sys.exit(3)
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    from mapreducecore_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    fn = REGISTRY[QUERY].fn
+
+    t0 = time.time()
+    clean = sorted(tuple(r) for r in fn(spark, SF).collect())
+    clean_sec = time.time() - t0
+
+    state = {"done": False, "rows": None, "err": None}
+
+    def run_chaos():
+        try:
+            state["rows"] = sorted(tuple(r) for r in fn(spark, SF).collect())
+        except Exception as e:  # surfaced in the JSON line below
+            state["err"] = f"{type(e).__name__}: {str(e)[:200]}"
+        state["done"] = True
+
+    th = threading.Thread(target=run_chaos, daemon=True)
+    t0 = time.time()
+    th.start()
+    time.sleep(KILL_AFTER)
+    victims = executor_pids(app_id)
+    killed, mid_job = None, False
+    if victims and not state["done"]:
+        killed = victims[0]
+        os.kill(killed, signal.SIGKILL)
+        mid_job = not state["done"]
+    th.join(timeout=600)
+    chaos_sec = time.time() - t0
+
+    # the worker must have relaunched a replacement executor
+    time.sleep(2)
+    survivors = executor_pids(app_id)
+
+    out = {
+        "query": QUERY,
+        "sf_dir": SF,
+        "clean_rows": len(clean),
+        "clean_sec": round(clean_sec, 1),
+        "chaos_sec": round(chaos_sec, 1),
+        "killed_pid": killed,
+        "killed_mid_job": mid_job,
+        "executors_after": len(survivors),
+        "chaos_err": state["err"],
+        "match": state["rows"] == clean,
+        "reliable_ckpt": bool(os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT")),
+    }
+    print(json.dumps(out))
+    spark.stop()
+    ok = out["match"] and out["killed_mid_job"] and not state["err"]
+    sys.exit(0 if ok else 2)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,12 +43,24 @@ def main():
     import duckdb
 
     # Deliberately minimal session — what a driver would plausibly build.
-    spark = (
-        SparkSession.builder.master("local[8]")
+    # SPARK_GRAFT_SIM_MASTER overrides for the multi-executor
+    # attestation (local-cluster[W,C,M]: separate executor JVMs,
+    # cross-process shuffle — VERDICT r8 #1); the session stays
+    # otherwise untuned so the sim still models an external driver.
+    import os
+
+    master = os.environ.get("SPARK_GRAFT_SIM_MASTER", "local[8]")
+    builder = (
+        SparkSession.builder.master(master)
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "3g"),
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as mod

@@ -31,9 +31,14 @@ def main() -> None:
     from mapreducecore_spark.session import get_spark
 
     _load_all()
+    # SPARK_GRAFT_MASTER lets the round-9 multi-executor attestation
+    # reuse this exact protocol under local-cluster[W,C,M] (real
+    # separate executor JVMs, cross-process shuffle). Executor sizing
+    # for that mode goes through SPARK_GRAFT_EXTRA_CONF
+    # (spark.executor.memory=...); local[32] stays the default.
     spark = get_spark(
         app_name="run-once",
-        master="local[32]",
+        master=os.environ.get("SPARK_GRAFT_MASTER", "local[32]"),
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.port": str(metrics.DEFAULT_UI_PORT),
