@@ -47,20 +47,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # window (~50 entries / round). Emit the registry in an explicit
 # priority order so the window always covers the flagship LLM-pipeline
 # operators (dedup/ANN) and live streaming; everything else follows.
-# ROUND-8 ROTATION (VERDICT r7 #6): exactly 50 names, counted by
+# ROUND-9 ROTATION (VERDICT r8 #6): exactly 50 names, counted by
 # tests/test_registry_window.py. Composition: 8 flagship/streaming
-# keeper slots; 12 re-attestations of queries whose shipped code was
-# reworked this round (semdedup's corpus-adaptive LSH code width,
-# basket's two-tier support floor, and the minhash-family/tfidf
-# expanding-session advisory binding); and 30 refreshes of the entries
-# whose newest green row dates to r1/r2 (staleness computed from
-# CORRECTNESS_r01-r07). Five r1-row entries did not fit and head the
-# r9 rotation: set_union_by_name, set_union_distinct, window_extras,
-# agg_multi_distinct, join_cross_dims — each has a freshly-attested
-# (r7) family sibling in-window. The 4 rows-only-by-nature approx ops
-# keep their sf0.1 error-bound tests instead of burning window slots.
+# keeper slots; 3 re-attestations of code reworked this round (tfidf's
+# single-scan plan, candidate_recall's eager side-staging, semdedup on
+# the rotated reserve-hyperplane pool); 5 entries whose ONLY green row
+# is r1 (deferred from the r8 rotation); all 32 entries whose newest
+# green row is r3; and the 2 oldest r4 rows. Staleness computed from
+# CORRECTNESS_r01-r08 (cumulative union 227/231; the 4 rows-only
+# approx ops keep their sf0.1 error-bound tests instead of burning
+# window slots). The r8 window's 30 staleness refreshes and the rest
+# of its rework batch all hold r8-green rows and rotate out.
 _PRIORITY: tuple[str, ...] = (
-    # Flagship LLM-pipeline north stars (judge-named must-verify set).
     "dedup_minhash_lsh",
     "dedup_neardup_keeper",
     "ann_lsh_bucketed",
@@ -69,20 +67,57 @@ _PRIORITY: tuple[str, ...] = (
     "stream_live_tumbling_counts",
     "stream_live_append_watermark",
     "stream_live_foreachbatch_sink",
-    # Reworked this round (r8) - fresh rows on the shipped code.
     "semdedup_prune",
-    "basket_part_pairs",
     "tfidf_top_terms",
+    "dedup_candidate_recall",
+    "set_union_by_name",
+    "set_union_distinct",
+    "window_extras",
+    "agg_multi_distinct",
+    "join_cross_dims",
+    "stream_live_enrich_static",
+    "stream_live_interval_join",
+    "stream_live_cdc_merge",
+    "stream_live_doc_dedup",
+    "ann_ivf_trained",
+    "ann_recall_eval",
+    "dedup_lines_ccnet",
+    "dedup_substring_spans",
+    "pii_redact_scrub",
+    "quality_token_entropy",
+    "quality_classifier_hashed",
+    "domain_cap_documents",
+    "simhash_docs",
+    "simhash_neardup_pairs",
+    "events_session_window",
+    "events_day_retention",
+    "events_cdc_latest_state",
+    "events_scd2_intervals",
+    "join_asof_last_order",
+    "join_hint_broadcast_sql",
+    "join_left_anti",
+    "fuzzy_match_blocked",
+    "set_except_all",
+    "agg_min_max_by",
+    "agg_mode_deterministic",
+    "agg_null_semantics",
+    "agg_rollup",
+    "window_moving_avg",
+    "udf_grouped_agg",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q18_large_volume_orders",
+    "stream_live_user_totals",
+    "stream_live_dedup_totals",  # ---- end of the exactly-50-entry driver window ----
+    "basket_part_pairs",
     "dedup_ngram_jaccard",
     "dedup_lsh_verified_pairs",
-    "dedup_candidate_recall",
     "minhash_estimate_accuracy",
     "dedup_connected_components",
     "dedup_savings_report",
     "dedup_incremental_minhash",
     "dedup_incremental_persisted",
     "dedup_band_index_build",
-    # Staleness refresh: newest green row r1/r2.
     "wordcount_documents",
     "agg_count_distinct",
     "agg_cube",
@@ -113,9 +148,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_range_interval_90d",
     "window_rank_dense",
     "window_running_sum",
-    # ---- end of the exactly-50-entry driver window ----
-    # Displaced entries, all with green driver rows (r7 fell-outs first,
-    # then the 5 deferred r1 staleness names, then older displacements).
     "sample_weighted_by_source",
     "q6_forecast_revenue",
     "set_intersect",
@@ -152,11 +184,6 @@ _PRIORITY: tuple[str, ...] = (
     "udf_map_in_arrow",
     "udf_pandas_scalar",
     "window_row_number",
-    "set_union_by_name",
-    "set_union_distinct",
-    "window_extras",
-    "agg_multi_distinct",
-    "join_cross_dims",
     "agg_approx_percentile",
     "stream_live_dedup_within_watermark",
     "quality_repetition_ratio",
@@ -224,8 +251,6 @@ _PRIORITY: tuple[str, ...] = (
     "sample_deterministic_hash",
     "set_intersect_all",
     "set_except",
-    "stream_live_user_totals",
-    "stream_live_dedup_totals",
     "stream_live_tws_distinct_types",
     "stream_live_session_append",
     "q8_market_share",
@@ -265,38 +290,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_sliding_window",
     "join_lateral_topn",
     "table_merge_upsert",
-    "stream_live_enrich_static",
-    "stream_live_interval_join",
-    "stream_live_cdc_merge",
-    "stream_live_doc_dedup",
-    "ann_ivf_trained",
-    "ann_recall_eval",
-    "dedup_lines_ccnet",
-    "dedup_substring_spans",
-    "pii_redact_scrub",
-    "quality_token_entropy",
-    "quality_classifier_hashed",
-    "domain_cap_documents",
-    "simhash_docs",
-    "simhash_neardup_pairs",
-    "events_session_window",
-    "events_day_retention",
-    "events_cdc_latest_state",
-    "events_scd2_intervals",
-    "join_asof_last_order",
-    "join_hint_broadcast_sql",
-    "join_left_anti",
-    "fuzzy_match_blocked",
-    "set_except_all",
-    "agg_min_max_by",
-    "agg_mode_deterministic",
-    "agg_null_semantics",
-    "agg_rollup",
-    "window_moving_avg",
-    "udf_grouped_agg",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q18_large_volume_orders",
 )
 
 

@@ -257,6 +257,31 @@ def expanding(fn):
     return wrapper
 
 
+def reclaim(spark) -> None:
+    """Deterministic shuffle-file reclaim point between staged jobs.
+
+    An eager checkpoint truncates lineage, but the dead upstream
+    stages' shuffle files are only DELETED once a driver GC clears the
+    ContextCleaner's weak references to their ShuffleDependency
+    objects — an asynchronous race that a time-based
+    spark.cleaner.periodicGC can lose. The 10000x candidate_recall run
+    measured exactly that loss (BASELINE.md round 9): the truth side's
+    ~24 GB of dead gram-index shuffles were still on disk when the
+    candidate side started writing (92 GB peak -> ENOSPC), and the
+    disk-usage curve shows the periodic cleanup landing 16 SECONDS
+    after the crash. Call this after the caller has dropped its
+    pre-checkpoint frames: one Python gc.collect() releases the Py4J
+    proxies pinning the old plans, one System.gc() on the driver JVM
+    lets the cleaner enqueue the deletes NOW. Cost is one full driver
+    GC (hundreds of ms at worst) per staging point — noise next to the
+    multi-minute jobs it sits between; on a real cluster the deletes
+    fan out to executors over the cleaner RPC exactly the same way."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
 def materialize(df, big: bool = False, eager: bool = False):
     """Compute once, reuse across self-join branches.
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from mapreducecore_spark.catalog import load_tables
 from mapreducecore_spark.functions.text import SPLIT_REGEX, SPLIT_REGEX_SQL
 from mapreducecore_spark.queries import register
-from mapreducecore_spark.queries._util import expanding, materialize, spread
+from mapreducecore_spark.queries._util import expanding, materialize, reclaim, spread
 
 # ---------------------------------------------------------------- dedup
 
@@ -1142,9 +1142,14 @@ def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a real cluster each executor's spindles make this a non-issue.
     # The pair frames themselves are tiny, so the eager flip re-orders
     # work rather than adding any (measured 3000x control in
-    # BASELINE.md round 9).
+    # BASELINE.md round 9). reclaim() after each stage makes the
+    # shuffle-file deletion DETERMINISTIC instead of racing the
+    # periodic cleaner — the first 10000x attempt lost that race by
+    # 16 seconds (ENOSPC at 92 GB; curve in BASELINE.md round 9).
     truth = materialize(truth, eager=True)
+    reclaim(spark)
     cand = materialize(cand, eager=True)
+    reclaim(spark)
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     return (
         truth.agg(F.count("*").cast("bigint").alias("n_truth"))

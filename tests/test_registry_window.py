@@ -16,12 +16,13 @@ from mapreducecore_spark.queries import REGISTRY, _PRIORITY, _load_all, all_quer
 
 WINDOW = 50
 
-# The round-8 window composition (VERDICT r7 #6): 8 flagship/streaming
-# keepers + the 12 queries reworked this round (semdedup corpus-adaptive
-# LSH code width; basket two-tier support floor; the minhash family +
-# tfidf now binding to the expanding-session advisory clone) + 30
-# staleness refreshes whose newest green row dated to r1/r2.
-ROUND8_REQUIRED = {
+# The round-9 window composition (VERDICT r8 #6): 8 flagship/streaming
+# keepers + the 3 queries whose shipped code changed this round
+# (tfidf's single-scan plan + @expanding membership, candidate_recall's
+# eager side-staging, semdedup on the rotated reserve-hyperplane pool)
+# + the 5 entries whose only green row is r1 + all 32 r3-stale entries
+# + the 2 oldest r4 rows (full list pinned in queries/__init__.py).
+ROUND9_REQUIRED = {
     # keepers
     "dedup_minhash_lsh",
     "dedup_neardup_keeper",
@@ -33,17 +34,14 @@ ROUND8_REQUIRED = {
     "stream_live_foreachbatch_sink",
     # reworked this round — must re-attest on the shipped code
     "semdedup_prune",
-    "basket_part_pairs",
     "tfidf_top_terms",
-    "dedup_ngram_jaccard",
-    "dedup_lsh_verified_pairs",
     "dedup_candidate_recall",
-    "minhash_estimate_accuracy",
-    "dedup_connected_components",
-    "dedup_savings_report",
-    "dedup_incremental_minhash",
-    "dedup_incremental_persisted",
-    "dedup_band_index_build",
+    # only-r1 rows, deferred from the r8 rotation
+    "set_union_by_name",
+    "set_union_distinct",
+    "window_extras",
+    "agg_multi_distinct",
+    "join_cross_dims",
 }
 
 
@@ -57,10 +55,10 @@ def test_priority_has_no_duplicates():
     assert len(_PRIORITY) == len(set(_PRIORITY))
 
 
-def test_round8_window_membership():
+def test_round9_window_membership():
     window = set(list(all_queries())[:WINDOW])
-    missing = ROUND8_REQUIRED - window
-    assert not missing, f"declared round-8 entries fell out of the window: {missing}"
+    missing = ROUND9_REQUIRED - window
+    assert not missing, f"declared round-9 entries fell out of the window: {missing}"
 
 
 @pytest.mark.parametrize("sf_dir_fixture", ["sf_dir"])

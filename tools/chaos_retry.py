@@ -89,28 +89,43 @@ def main() -> None:
     t0 = time.time()
     clean = sorted(tuple(r) for r in fn(spark, SF).collect())
     clean_sec = time.time() - t0
-
-    state = {"done": False, "rows": None, "err": None}
-
-    def run_chaos():
-        try:
-            state["rows"] = sorted(tuple(r) for r in fn(spark, SF).collect())
-        except Exception as e:  # surfaced in the JSON line below
-            state["err"] = f"{type(e).__name__}: {str(e)[:200]}"
-        state["done"] = True
-
-    th = threading.Thread(target=run_chaos, daemon=True)
+    # warm control: the first run pays python-worker spin-up and
+    # code-ship; the kill window must be sized from the WARM wall or a
+    # fast warm chaos run finishes before the kill fires (the suite
+    # measured 15.8 s cold vs 3.0 s warm on the same query).
     t0 = time.time()
-    th.start()
-    time.sleep(KILL_AFTER)
-    victims = executor_pids(app_id)
-    killed, mid_job = None, False
-    if victims and not state["done"]:
-        killed = victims[0]
-        os.kill(killed, signal.SIGKILL)
-        mid_job = not state["done"]
-    th.join(timeout=600)
-    chaos_sec = time.time() - t0
+    warm = sorted(tuple(r) for r in fn(spark, SF).collect())
+    warm_sec = time.time() - t0
+    assert warm == clean
+
+    killed, mid_job, chaos_sec = None, False, 0.0
+    state = {"done": False, "rows": None, "err": None}
+    kill_after = min(max(0.3 * warm_sec, 0.5), KILL_AFTER)
+    for _attempt in range(4):
+        state = {"done": False, "rows": None, "err": None}
+
+        def run_chaos():
+            try:
+                state["rows"] = sorted(tuple(r) for r in fn(spark, SF).collect())
+            except Exception as e:  # surfaced in the JSON line below
+                state["err"] = f"{type(e).__name__}: {str(e)[:200]}"
+            state["done"] = True
+
+        th = threading.Thread(target=run_chaos, daemon=True)
+        t0 = time.time()
+        th.start()
+        time.sleep(kill_after)
+        victims = executor_pids(app_id)
+        killed, mid_job = None, False
+        if victims and not state["done"]:
+            killed = victims[0]
+            os.kill(killed, signal.SIGKILL)
+            mid_job = not state["done"]
+        th.join(timeout=600)
+        chaos_sec = time.time() - t0
+        if mid_job or state["err"]:
+            break
+        kill_after = max(0.3, kill_after / 2)  # job beat the kill — aim earlier
 
     # the worker must have relaunched a replacement executor
     time.sleep(2)
