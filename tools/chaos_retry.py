@@ -71,7 +71,10 @@ def main() -> None:
                 os.environ.get("SPARK_GRAFT_CHAOS_MASTER", "local-cluster[2,8,4096]")
             )
             .appName("chaos-retry")
-            .config("spark.executor.memory", "3g")
+            .config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_CHAOS_EXEC_MEM", "3g"),
+            )
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
