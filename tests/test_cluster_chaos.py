@@ -25,11 +25,23 @@ import pytest
 
 
 @pytest.mark.slow
-def test_executor_kill_output_identical(tmp_path):
+@pytest.mark.parametrize(
+    "query",
+    [
+        "dedup_minhash_lsh",  # batch: stage retry + shuffle regeneration
+        "stream_live_tumbling_counts",  # streaming: state-store recovery
+    ],
+)
+def test_executor_kill_output_identical(tmp_path, query):
     env = dict(os.environ)
     env["SPARK_GRAFT_RELIABLE_CHECKPOINT"] = str(tmp_path / "ckpt")
     proc = subprocess.run(
-        [sys.executable, "/root/repo/tools/chaos_retry.py"],
+        [
+            sys.executable,
+            "/root/repo/tools/chaos_retry.py",
+            "/root/testdata/sf0.01",
+            query,
+        ],
         capture_output=True,
         text=True,
         timeout=900,
