@@ -37,18 +37,32 @@ BROADCAST_DIMS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# session object -> {sf_dir -> table dict}. DataFrames are lazy
+# id(session) -> {sf_dir -> table dict}. DataFrames are lazy
 # plans — caching them skips 10 parquet-footer/analysis round-trips per
 # query call (every registry query starts with load_tables), which adds
-# up across a 170-query bench run. Keyed WEAKLY on the SparkSession
-# object itself (ADVICE r8: the former (appId, tag, sf_dir) key was
-# never evicted, so a host process that churns sessions leaked plan
-# references for its lifetime): a DataFrame is bound to the session
+# up across a 170-query bench run. A DataFrame is bound to the session
 # that read it — the expanding_session clone (per-query AQE advisory)
-# must not be handed frames built on the base session, and object
-# identity distinguishes clones exactly as the tag did — and when a
-# session is dropped, its entry (and every plan in it) goes with it.
-_TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+# must not be handed frames built on the base session — so entries are
+# per session OBJECT. Keying a WeakKeyDictionary on the session itself
+# (r8's fix) never actually evicted (ADVICE r9): the cached DataFrames
+# hold a strong ref back to their session, and the dict holds its
+# values strongly, so every key session was kept alive by its own
+# entry. Key by id() instead and evict via weakref.finalize — the
+# callback fires when the session is deallocated (its cache entry does
+# not pin it, since the dict no longer references the session object),
+# popping the entry and every plan in it. id() reuse is safe: the
+# finalizer runs at deallocation, before the address can be handed to
+# a new object.
+_TABLE_CACHE: dict[int, dict[str, dict[str, DataFrame]]] = {}
+
+
+def _session_cache(spark: SparkSession) -> dict[str, dict[str, DataFrame]]:
+    key = id(spark)
+    entry = _TABLE_CACHE.get(key)
+    if entry is None:
+        entry = _TABLE_CACHE[key] = {}
+        weakref.finalize(spark, _TABLE_CACHE.pop, key, None)
+    return entry
 
 
 def load_tables(
@@ -57,7 +71,8 @@ def load_tables(
     """Load every table in `sf_dir`; optionally register temp views."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     tune_session(spark)
-    cached = _TABLE_CACHE.setdefault(spark, {}).get(sf_dir)
+    cache = _session_cache(spark)
+    cached = cache.get(sf_dir)
     if cached is not None:
         if register:
             for name, df in cached.items():
@@ -72,7 +87,7 @@ def load_tables(
         out[name] = df
         if register:
             df.createOrReplaceTempView(name)
-    _TABLE_CACHE[spark][sf_dir] = dict(out)
+    cache[sf_dir] = dict(out)
     return out
 
 

@@ -109,15 +109,17 @@ def spread(df, min_parts: int = 16):
 # Repartition, Sort, Window...) breaks the retry-stability argument
 # above — monotonically_increasing_id is only deterministic when the
 # parent's row order is.
-_SPREAD_SAFE_NODES = (
-    "Project",
-    "Filter",
-    "Relation",
-    "LogicalRDD",
-    "LocalRelation",
-    "SubqueryAlias",
-    "View",
-    "Range",
+_SPREAD_SAFE_NODES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Relation",
+        "LogicalRDD",
+        "LocalRelation",
+        "SubqueryAlias",
+        "View",
+        "Range",
+    }
 )
 
 
@@ -134,7 +136,10 @@ def _assert_scan_adjacent(df) -> None:
     plan = df._jdf.queryExecution().analyzed().toString()
     for line in plan.splitlines():
         node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
-        if node and not node.startswith(_SPREAD_SAFE_NODES):
+        # Exact membership, not prefix (ADVICE r9): a future node merely
+        # SPELLED like an allowed one (e.g. "FilterEstimation") must trip
+        # the guard, not slide under a startswith.
+        if node and node not in _SPREAD_SAFE_NODES:
             raise AssertionError(
                 "spread() must sit directly on a scan (retry-stability "
                 f"invariant, see docstring); found node {node!r} in:\n{plan}"
@@ -257,8 +262,8 @@ def expanding(fn):
     return wrapper
 
 
-def reclaim(spark) -> None:
-    """Deterministic shuffle-file reclaim point between staged jobs.
+def reclaim(spark, settle_secs: float = 20.0) -> None:
+    """Shuffle-file reclaim point between staged jobs.
 
     An eager checkpoint truncates lineage, but the dead upstream
     stages' shuffle files are only DELETED once a driver GC clears the
@@ -272,14 +277,41 @@ def reclaim(spark) -> None:
     after the crash. Call this after the caller has dropped its
     pre-checkpoint frames: one Python gc.collect() releases the Py4J
     proxies pinning the old plans, one System.gc() on the driver JVM
-    lets the cleaner enqueue the deletes NOW. Cost is one full driver
-    GC (hundreds of ms at worst) per staging point — noise next to the
-    multi-minute jobs it sits between; on a real cluster the deletes
-    fan out to executors over the cleaner RPC exactly the same way."""
+    lets the cleaner enqueue the deletes NOW.
+
+    The gc only ENQUEUES, though (ADVICE r9): the ContextCleaner
+    drains its reference queue on its own thread, so deletes still
+    land asynchronously — a fast next stage could beat them to disk.
+    To close that tail, after the gc this polls free space on the
+    shuffle spool's filesystem and returns once it has stopped growing
+    (two consecutive stable 0.5 s samples) or `settle_secs` elapses —
+    bounded, and ~1 s when there is nothing pending. Cost per staging
+    point is one full driver GC plus the settle poll — noise next to
+    the multi-minute jobs it sits between; on a real cluster the
+    deletes fan out to executors over the cleaner RPC the same way
+    (the poll then only observes the driver-local spool, so treat
+    remote headroom as eventually consistent there)."""
     import gc
+    import shutil
+    import tempfile
+    import time
 
     gc.collect()
     spark.sparkContext._jvm.System.gc()
+    spool = (
+        spark.sparkContext.getConf().get("spark.local.dir", tempfile.gettempdir())
+    ).split(",")[0]
+    try:
+        free = shutil.disk_usage(spool).free
+    except OSError:
+        return
+    deadline = time.monotonic() + settle_secs
+    stable = 0
+    while stable < 2 and time.monotonic() < deadline:
+        time.sleep(0.5)
+        now_free = shutil.disk_usage(spool).free
+        stable = stable + 1 if now_free <= free else 0
+        free = max(free, now_free)
 
 
 def materialize(df, big: bool = False, eager: bool = False):

@@ -91,28 +91,60 @@ def _ship_package(spark: SparkSession) -> None:
     travel with the job. addPyFile(zip) is the cluster-portable
     mechanism (same path spark-submit --py-files uses: the zip is
     fetched per-executor and prepended to the worker's sys.path);
-    a shared filesystem is NOT assumed. Zipped once per CONTEXT —
+    a shared filesystem is NOT assumed. Shipped once per CONTEXT —
     the guard lives on the SparkContext, not the session, because
     newSession() clones (the expanding-advisory clone) share the
     context's file registry and a second addPyFile of the same
-    filename from a fresh tempdir is rejected (round-9 full
+    filename from a different path is rejected (round-9 full
     local-cluster sim caught exactly that: 13 @expanding queries
-    erroring on 'already registered with a different path')."""
+    erroring on 'already registered with a different path').
+
+    The zip itself is CONTENT-ADDRESSED (ADVICE r9): one
+    $TMPDIR/graft_pkg_<sha256-of-sources>/ dir per distinct package
+    content, built atomically (write-then-rename) and reused by every
+    later context in any process — a host that cycles contexts (the
+    chaos/speculation tools build several) no longer accumulates one
+    orphaned mkdtemp per context, and the on-disk residue is bounded
+    by the number of distinct package versions seen since boot. Not
+    deleted at exit on purpose: a concurrently running sibling process
+    may be serving the same zip to late-launching executors."""
     sc = spark.sparkContext
     if sc.master == "local" or sc.master.startswith("local["):
         return
     if getattr(sc, "_graft_pkg_shipped", False):
         return
+    import hashlib
     import shutil
     import tempfile
 
     import mapreducecore_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(mapreducecore_spark.__file__))
-    base = os.path.join(tempfile.mkdtemp(prefix="graft_pkg_"), "mapreducecore_spark")
-    zip_path = shutil.make_archive(
-        base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="mapreducecore_spark"
+    digest = hashlib.sha256()
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for fname in sorted(f for f in files if f.endswith(".py")):
+            path = os.path.join(root, fname)
+            digest.update(os.path.relpath(path, pkg_dir).encode())
+            with open(path, "rb") as fh:
+                digest.update(fh.read())
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"graft_pkg_{digest.hexdigest()[:16]}"
     )
+    zip_path = os.path.join(out_dir, "mapreducecore_spark.zip")
+    if not os.path.exists(zip_path):
+        build_dir = tempfile.mkdtemp(prefix="graft_pkg_build_")
+        try:
+            built = shutil.make_archive(
+                os.path.join(build_dir, "mapreducecore_spark"),
+                "zip",
+                root_dir=os.path.dirname(pkg_dir),
+                base_dir="mapreducecore_spark",
+            )
+            os.makedirs(out_dir, exist_ok=True)
+            os.replace(built, zip_path)
+        finally:
+            shutil.rmtree(build_dir, ignore_errors=True)
     sc.addPyFile(zip_path)
     sc._graft_pkg_shipped = True
 

@@ -30,6 +30,13 @@ import pytest
     [
         "dedup_minhash_lsh",  # batch: stage retry + shuffle regeneration
         "stream_live_tumbling_counts",  # streaming: state-store recovery
+        # VERDICT r9 #2 — the hardest recovery claims are iterative/stateful:
+        "dedup_neardup_keeper",  # components LOOP: persisted DISK_ONLY loop
+        # frames across iterations must survive losing the executor that
+        # held them (also an @expanding member — session clone + shipped
+        # package interaction under loss)
+        "tfidf_top_terms",  # @expanding single-scan plan: AQE stage reuse
+        # (the df-from-tf shared exchange) re-derived after shuffle loss
     ],
 )
 def test_executor_kill_output_identical(tmp_path, query):
@@ -50,6 +57,11 @@ def test_executor_kill_output_identical(tmp_path, query):
     )
     if proc.returncode == 3:
         pytest.skip("local-cluster mode unavailable in this environment")
+    if proc.returncode == 4:
+        # ADVICE r9: every kill attempt lost the race (warm job finished
+        # before the floored delay) but output matched — no divergence,
+        # just nothing attested on this box/corpus. Skip, don't flake.
+        pytest.skip("kill race lost on all attempts (clean, matching run)")
     line = next(
         (ln for ln in reversed(proc.stdout.splitlines()) if ln.startswith("{")),
         None,
