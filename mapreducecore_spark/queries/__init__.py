@@ -47,17 +47,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # window (~50 entries / round). Emit the registry in an explicit
 # priority order so the window always covers the flagship LLM-pipeline
 # operators (dedup/ANN) and live streaming; everything else follows.
-# ROUND-9 ROTATION (VERDICT r8 #6): exactly 50 names, counted by
+# ROUND-10 ROTATION (VERDICT r9 #5): exactly 50 names, counted by
 # tests/test_registry_window.py. Composition: 8 flagship/streaming
-# keeper slots; 3 re-attestations of code reworked this round (tfidf's
-# single-scan plan, candidate_recall's eager side-staging, semdedup on
-# the rotated reserve-hyperplane pool); 5 entries whose ONLY green row
-# is r1 (deferred from the r8 rotation); all 32 entries whose newest
-# green row is r3; and the 2 oldest r4 rows. Staleness computed from
-# CORRECTNESS_r01-r08 (cumulative union 227/231; the 4 rows-only
-# approx ops keep their sf0.1 error-bound tests instead of burning
-# window slots). The r8 window's 30 staleness refreshes and the rest
-# of its rework batch all hold r8-green rows and rotate out.
+# keeper slots; 5 re-attestations of code whose shared pipeline was
+# reworked this round (_minhash_member_rows grew staged sides and the
+# base-join restructure, so every _minhash_band_pairs/_emit_bucket_pairs
+# consumer re-attests: the two exact-Jaccard scorers, candidate_recall,
+# connected_components, savings_report); and 37 of the 39 entries whose
+# newest green row is r4 — the entire r4-vintage tail except
+# dedup_exact_normalized and doc_fingerprint, deferred to r11 because
+# both have crafted-corpus pytest parity and an r7+-green sibling
+# (dedup_exact keeps its keeper slot; doc_fingerprint_winnow is
+# r7-green). Staleness computed from CORRECTNESS_r01-r09 (cumulative
+# union 227/231; the 4 rows-only approx ops keep their sf0.1
+# error-bound tests instead of burning window slots).
 _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_neardup_keeper",
@@ -67,9 +70,50 @@ _PRIORITY: tuple[str, ...] = (
     "stream_live_tumbling_counts",
     "stream_live_append_watermark",
     "stream_live_foreachbatch_sink",
+    "dedup_lsh_verified_pairs",
+    "minhash_estimate_accuracy",
+    "dedup_candidate_recall",
+    "dedup_connected_components",
+    "dedup_savings_report",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_who_kept_waiting",
+    "scalar_date_funcs",
+    "scalar_json_funcs",
+    "scalar_array_funcs",
+    "scalar_math_funcs",
+    "scalar_conditional",
+    "scalar_regexp_funcs",
+    "scalar_map_funcs",
+    "scalar_try_cast",
+    "dq_column_profile",
+    "dq_anomaly_zscore",
+    "dq_referential_orphans",
+    "dq_mad_outliers",
+    "stream_live_tws_distinct_types",
+    "stream_live_session_append",
+    "graph_pagerank_converged",
+    "graph_triangle_count",
+    "maintenance_compact_small_files",
+    "source_custom_pyds_scan",
+    "udtf_segment_lateral",
+    "token_count_bpe",
+    "lang_id_ngram",
+    "quality_perplexity_bigram",
+    "udf_arrow_optimized",
+    "udf_apply_in_arrow",
+    "udf_row_strmap",
+    "events_sliding_window",
+    "join_lateral_topn",
+    "table_merge_upsert",  # ---- end of the exactly-50-entry driver window ----
     "semdedup_prune",
     "tfidf_top_terms",
-    "dedup_candidate_recall",
     "set_union_by_name",
     "set_union_distinct",
     "window_extras",
@@ -108,13 +152,9 @@ _PRIORITY: tuple[str, ...] = (
     "q9_product_type_profit",
     "q18_large_volume_orders",
     "stream_live_user_totals",
-    "stream_live_dedup_totals",  # ---- end of the exactly-50-entry driver window ----
+    "stream_live_dedup_totals",
     "basket_part_pairs",
     "dedup_ngram_jaccard",
-    "dedup_lsh_verified_pairs",
-    "minhash_estimate_accuracy",
-    "dedup_connected_components",
-    "dedup_savings_report",
     "dedup_incremental_minhash",
     "dedup_incremental_persisted",
     "dedup_band_index_build",
@@ -251,45 +291,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_deterministic_hash",
     "set_intersect_all",
     "set_except",
-    "stream_live_tws_distinct_types",
-    "stream_live_session_append",
-    "q8_market_share",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_suppliers_who_kept_waiting",
-    "scalar_date_funcs",
-    "scalar_json_funcs",
-    "scalar_array_funcs",
-    "scalar_math_funcs",
-    "scalar_conditional",
-    "scalar_regexp_funcs",
-    "scalar_map_funcs",
-    "scalar_try_cast",
-    "dq_column_profile",
-    "dq_anomaly_zscore",
-    "dq_referential_orphans",
-    "dq_mad_outliers",
-    "graph_pagerank_converged",
-    "graph_triangle_count",
-    "maintenance_compact_small_files",
-    "source_custom_pyds_scan",
-    "udtf_segment_lateral",
-    "token_count_bpe",
     "doc_fingerprint",
-    "lang_id_ngram",
     "dedup_exact_normalized",
-    "quality_perplexity_bigram",
-    "udf_arrow_optimized",
-    "udf_apply_in_arrow",
-    "udf_row_strmap",
-    "events_sliding_window",
-    "join_lateral_topn",
-    "table_merge_upsert",
 )
 
 

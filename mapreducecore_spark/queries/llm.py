@@ -860,12 +860,21 @@ def _scored_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS est_jaccard_raw)"
         )
 
-    rows, reps = _minhash_member_rows(docs, with_sets=True)
+    # staged=True (VERDICT r9 #1): the with_sets payload makes every
+    # exchange in this pipeline array-bearing, and running them inside
+    # one job SUMS their transient disk — the 3000x re-attestation
+    # ENOSPCed at ~61 GB live shuffle on a ~55 GB box. Staging runs
+    # the shingle aggregation and the payload join as separate eager
+    # jobs with a deterministic reclaim() between, so peak disk is the
+    # largest single stage. Costs two extra corpus-block writes — noise
+    # at bench scale, the difference between finishing and ENOSPC at
+    # the fourth decade.
+    rows, reps = _minhash_member_rows(docs, with_sets=True, staged=True)
     return _emit_bucket_pairs(rows, reps, score)
 
 
 def _minhash_member_rows(
-    docs: DataFrame, with_sets: bool
+    docs: DataFrame, with_sets: bool, staged: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (rows, reps). rows = (band_id, sig, width, m): one row
     per (doc, band), where m is the member struct carrying the doc's
@@ -918,6 +927,7 @@ def _minhash_member_rows(
                 "doc_id", "hs", F.size("hs").cast("bigint").alias("n_sh"), "mhs"
             ),
             big=True,
+            eager=staged,
         )
         member = F.struct("doc_id", "hs", "n_sh", "mhs", "bws", "reps")
     else:
@@ -926,8 +936,19 @@ def _minhash_member_rows(
         # fourth-decade run showed default MEMORY_AND_DISK blocks of
         # this frame OOM a fresh 8g JVM at 15M docs while DISK_ONLY
         # completes — same protected-storage family as the hs branch.
-        per_doc = materialize(sh.groupBy("doc_id").agg(mhs_agg), big=True)
+        per_doc = materialize(sh.groupBy("doc_id").agg(mhs_agg), big=True, eager=staged)
         member = F.struct("doc_id", "mhs", "bws", "reps")
+    if staged:
+        # Staged-sides mode (VERDICT r9 #1, the candidate_recall
+        # fifth-decade recipe applied to the scorers): per_doc was just
+        # built as its OWN eager job, so the shingle explode/collect_set
+        # shuffle — shingle-level volume, the single biggest transient
+        # in the with_sets pipeline — is dead now; reclaim() deletes it
+        # BEFORE the band-metadata and bucket-exchange jobs start
+        # writing, capping peak transient disk at max(stage) instead of
+        # the sum that ENOSPCed the scorers' 3000x re-attestation
+        # (61.3 GB live vs ~55 GB free, BASELINE.md round 9).
+        reclaim(docs.sparkSession)
     n_bands = _MINHASH_SEEDS // 2
     band_structs = F.array(
         *[
@@ -958,9 +979,20 @@ def _minhash_member_rows(
             F.expr("transform(array_sort(wr), x -> x.rep)").alias("reps"),
         )
     )
+    base = per_doc.join(band_meta, "doc_id")
+    if staged:
+        # Second staging point: the payload-carrying doc_id join runs
+        # as its own job, then its exchanges (per_doc's array rows +
+        # band_meta's narrow rows, plus band_meta's internal width
+        # shuffles) are reclaimed before the band/bucket exchange — the
+        # final job reads compact DISK_ONLY blocks and carries only its
+        # own 4-bands-per-doc shuffle. Both the clique and star
+        # branches also stop recomputing the join (in the lazy shape
+        # AQE stage reuse dedups it; here the checkpoint does).
+        base = materialize(base, big=True, eager=True)
+        reclaim(docs.sparkSession)
     rows = (
-        per_doc.join(band_meta, "doc_id")
-        .select(F.explode(band_structs).alias("b"), member.alias("m"))
+        base.select(F.explode(band_structs).alias("b"), member.alias("m"))
         .select(
             "b.band_id",
             "b.sig",
@@ -982,8 +1014,7 @@ def _minhash_member_rows(
         )
     )
     reps = (
-        per_doc.join(band_meta, "doc_id")
-        .join(big_buckets, F.col("doc_id") == F.col("rep_doc"))
+        base.join(big_buckets, F.col("doc_id") == F.col("rep_doc"))
         .select("band_id", "sig", member.alias("rep"))
     )
     return rows, reps
@@ -1037,6 +1068,17 @@ def _emit_bucket_pairs(
     keeper at the 100x replicate sweep vs 3.68 for the collect it
     replaced — the sort of 30k-row star buckets carrying shingle-set
     payloads was the regression)."""
+    # Plain groupBy, measured against a pre-exchange column repartition
+    # (round 10): bucket keys are ~unique within a map partition, so
+    # the map-side partial collect_list merges nothing and its
+    # ObjectHashAggregate sort fallback spills the full wide input
+    # (59.5 GB at the scorers' 3000x). Repartitioning first removes
+    # that map-side sort — but Spark still plans partial+final
+    # back-to-back after the exchange and BOTH sort-fall-back, so the
+    # reduce stage double-sorts instead (56 GB spill there, 3000x wall
+    # 294.7 s vs 279.9 s plain, same ~54 GB peak disk). No free lunch
+    # without a complete-mode single agg, which Catalyst doesn't plan
+    # for collect_list; the plain shape is the measured winner.
     buckets = (
         rows.filter(F.col("width") <= _MINHASH_MAX_BUCKET)
         .groupBy("band_id", "sig")

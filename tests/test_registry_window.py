@@ -16,13 +16,13 @@ from mapreducecore_spark.queries import REGISTRY, _PRIORITY, _load_all, all_quer
 
 WINDOW = 50
 
-# The round-9 window composition (VERDICT r8 #6): 8 flagship/streaming
-# keepers + the 3 queries whose shipped code changed this round
-# (tfidf's single-scan plan + @expanding membership, candidate_recall's
-# eager side-staging, semdedup on the rotated reserve-hyperplane pool)
-# + the 5 entries whose only green row is r1 + all 32 r3-stale entries
-# + the 2 oldest r4 rows (full list pinned in queries/__init__.py).
-ROUND9_REQUIRED = {
+# The round-10 window composition (VERDICT r9 #5): 8 flagship/streaming
+# keepers + the 5 queries whose shared minhash pipeline code changed
+# this round (staged sides + the base-join restructure in
+# _minhash_member_rows touch every _emit_bucket_pairs consumer) + 37
+# of the 39 r4-stale entries (full list and the two documented
+# deferrals pinned in queries/__init__.py).
+ROUND10_REQUIRED = {
     # keepers
     "dedup_minhash_lsh",
     "dedup_neardup_keeper",
@@ -32,16 +32,18 @@ ROUND9_REQUIRED = {
     "stream_live_tumbling_counts",
     "stream_live_append_watermark",
     "stream_live_foreachbatch_sink",
-    # reworked this round — must re-attest on the shipped code
-    "semdedup_prune",
-    "tfidf_top_terms",
+    # shared-pipeline rework — must re-attest on the shipped code
+    "dedup_lsh_verified_pairs",
+    "minhash_estimate_accuracy",
     "dedup_candidate_recall",
-    # only-r1 rows, deferred from the r8 rotation
-    "set_union_by_name",
-    "set_union_distinct",
-    "window_extras",
-    "agg_multi_distinct",
-    "join_cross_dims",
+    "dedup_connected_components",
+    "dedup_savings_report",
+    # representative r4-stale refreshes (full set in queries/__init__.py)
+    "q8_market_share",
+    "scalar_try_cast",
+    "stream_live_tws_distinct_types",
+    "dq_column_profile",
+    "table_merge_upsert",
 }
 
 
@@ -55,10 +57,10 @@ def test_priority_has_no_duplicates():
     assert len(_PRIORITY) == len(set(_PRIORITY))
 
 
-def test_round9_window_membership():
+def test_round10_window_membership():
     window = set(list(all_queries())[:WINDOW])
-    missing = ROUND9_REQUIRED - window
-    assert not missing, f"declared round-9 entries fell out of the window: {missing}"
+    missing = ROUND10_REQUIRED - window
+    assert not missing, f"declared round-10 entries fell out of the window: {missing}"
 
 
 @pytest.mark.parametrize("sf_dir_fixture", ["sf_dir"])
