@@ -11,7 +11,6 @@ source here.
 from __future__ import annotations
 
 import os
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,32 +36,27 @@ BROADCAST_DIMS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# id(session) -> {sf_dir -> table dict}. DataFrames are lazy
-# plans — caching them skips 10 parquet-footer/analysis round-trips per
-# query call (every registry query starts with load_tables), which adds
-# up across a 170-query bench run. A DataFrame is bound to the session
-# that read it — the expanding_session clone (per-query AQE advisory)
-# must not be handed frames built on the base session — so entries are
-# per session OBJECT. Keying a WeakKeyDictionary on the session itself
-# (r8's fix) never actually evicted (ADVICE r9): the cached DataFrames
-# hold a strong ref back to their session, and the dict holds its
-# values strongly, so every key session was kept alive by its own
-# entry. Key by id() instead and evict via weakref.finalize — the
-# callback fires when the session is deallocated (its cache entry does
-# not pin it, since the dict no longer references the session object),
-# popping the entry and every plan in it. id() reuse is safe: the
-# finalizer runs at deallocation, before the address can be handed to
-# a new object.
-_TABLE_CACHE: dict[int, dict[str, dict[str, DataFrame]]] = {}
+# Per-session {sf_dir -> table dict}, stored ON the session object.
+# DataFrames are lazy plans — caching them skips 10 parquet-footer/
+# analysis round-trips per query call (every registry query starts
+# with load_tables), which adds up across a 170-query bench run. A
+# DataFrame is bound to the session that read it — the
+# expanding_session clone (per-query AQE advisory) must not be handed
+# frames built on the base session — so entries are per session
+# OBJECT. Any GLOBAL map cannot evict here (ADVICE r9): cached
+# DataFrames hold a strong ref back to their session, so a
+# global->entry->frame->session path pins the session whether the map
+# is weak-keyed (the r8 shape) or id-keyed with a deallocation
+# finalizer (which then never fires). Hanging the cache off
+# spark.__dict__ makes session -> cache -> DataFrame -> session a
+# pure reference CYCLE with no global root: CPython's cycle collector
+# reclaims the whole group — session, plans and all — as soon as the
+# session is otherwise unreachable. (The JVM-side session follows via
+# Py4J finalizers; the Python-side plan objects were the leak.)
 
 
 def _session_cache(spark: SparkSession) -> dict[str, dict[str, DataFrame]]:
-    key = id(spark)
-    entry = _TABLE_CACHE.get(key)
-    if entry is None:
-        entry = _TABLE_CACHE[key] = {}
-        weakref.finalize(spark, _TABLE_CACHE.pop, key, None)
-    return entry
+    return spark.__dict__.setdefault("_graft_table_cache", {})
 
 
 def load_tables(

@@ -357,3 +357,35 @@ def test_spread_guard_rejects_non_scan_frames(spark, sf_dir):
     ):
         with pytest.raises(AssertionError, match="spread\\(\\) must sit directly"):
             spread(bad)
+
+
+def test_table_cache_does_not_pin_dropped_sessions(spark, sf_dir):
+    """ADVICE r9 #1 (and the round-10 correction to its first fix):
+    load_tables' plan cache must not keep a dropped session alive.
+    Cached DataFrames strongly reference their session, so any
+    global-rooted cache — weak-keyed or id-keyed-with-finalizer —
+    pins the session through its own values. The cache therefore
+    lives on the session object itself (a collectible pure cycle);
+    this test is the regression guard: a newSession clone that loaded
+    tables must be garbage-collectible once dropped."""
+    import gc
+    import weakref
+
+    clone = spark.newSession()
+    tables = load_tables(clone, sf_dir)
+    assert clone.__dict__["_graft_table_cache"], "cache never populated"
+    # second load on the same clone hits the cache (same object back)
+    assert load_tables(clone, sf_dir)["documents"] is tables["documents"]
+    ref = weakref.ref(clone)
+    del clone, tables
+    # Upstream caveat: pyspark's SparkSession constructor monkey-patches
+    # RDD.toDF with a closure over the newest session (class-level), so
+    # the MOST RECENT session is always pinned by pyspark itself —
+    # bounded to one. Creating one more throwaway session moves that
+    # pin off our clone; what remains reachable is then only what OUR
+    # code holds.
+    spark.newSession()
+    gc.collect()
+    assert ref() is None, (
+        "dropped session still reachable — the table cache is pinning it"
+    )
