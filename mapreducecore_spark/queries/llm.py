@@ -204,7 +204,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_band_pairs(docs)
 
 
-def _minhash_band_pairs(docs: DataFrame) -> DataFrame:
+def _minhash_band_pairs(docs: DataFrame, staged: bool = False) -> DataFrame:
     """The shingle -> minhash -> bucket-collect -> minimal-band-emit
     pipeline over an arbitrary (doc_id, toks) frame — shared by the
     flagship full-corpus pair generator above and the exact-dup-
@@ -214,8 +214,17 @@ def _minhash_band_pairs(docs: DataFrame) -> DataFrame:
     banded frame twice and exchanged every duplicated pair row; the
     minimal-band emission of _emit_bucket_pairs produces the identical
     pair set with no pair-keyed exchange at all — the same redesign
-    measured 8.0 -> 1.2 GB on the scorers)."""
-    rows, reps = _minhash_member_rows(docs, with_sets=False)
+    measured 8.0 -> 1.2 GB on the scorers).
+
+    staged=True runs the per-doc aggregation and the payload join as
+    separate eager jobs with a reclaim() between (see
+    _minhash_member_rows) so the bucket exchange never coexists with
+    the shingle scan/aggregation in one job's heap — recall's fifth
+    decade needed exactly that split (its 10000x cand job OOMed a
+    default 8g heap on the round-10 sandbox with everything fused;
+    BASELINE.md round 10). The flagship keeps the fused lazy shape,
+    measured faster where the heap margin allows it."""
+    rows, reps = _minhash_member_rows(docs, with_sets=False, staged=staged)
     return _emit_bucket_pairs(
         rows,
         reps,
@@ -1167,8 +1176,17 @@ def dedup_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True,
     )
     truth = _jaccard_truth_pairs(sdocs).select("doc_a", "doc_b")
+    # staged=True (round 10): at 10000x the fused cand job — shingle
+    # explode, 8-way min aggregation, and the 4-bands bucket exchange
+    # in one job — OOMed the default 8g heap twice on the round-10
+    # sandbox (the r9 8g pass was riding the edge; 10g completed).
+    # Staging pre-checkpoints the per-doc signatures so the bucket
+    # exchange reads compact DISK_ONLY blocks instead of sharing its
+    # heap with the scan/agg stages, the same split that fixed the
+    # scorers' disk profile.
     cand = _minhash_band_pairs(
-        sdocs.selectExpr("doc_id", f"{_TOKS} AS toks")
+        sdocs.selectExpr("doc_id", f"{_TOKS} AS toks"),
+        staged=True,
     ).select("doc_a", "doc_b")
     # Both sides are consumed twice (semi-join + count); materialize
     # BOTH so neither shingling pipeline re-executes. EAGER (round 9,
