@@ -262,6 +262,29 @@ def expanding(fn):
     return wrapper
 
 
+_RECLAIM_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_RECLAIM_MIN_BYTES", str(1 << 30))
+)
+
+
+def _scratch_bytes(spool: str) -> int:
+    """Total bytes currently held by Spark block-manager scratch dirs
+    under the shuffle spool — an upper bound on what a settle wait
+    could possibly reclaim (it also counts LIVE blocks, e.g. resident
+    DISK_ONLY checkpoints, so it only ever errs toward polling)."""
+    import glob
+
+    total = 0
+    for d in glob.glob(os.path.join(spool, "blockmgr-*")):
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
 def reclaim(spark, settle_secs: float = 20.0) -> None:
     """Shuffle-file reclaim point between staged jobs.
 
@@ -290,7 +313,21 @@ def reclaim(spark, settle_secs: float = 20.0) -> None:
     the multi-minute jobs it sits between; on a real cluster the
     deletes fan out to executors over the cleaner RPC the same way
     (the poll then only observes the driver-local spool, so treat
-    remote headroom as eventually consistent there)."""
+    remote headroom as eventually consistent there).
+
+    THE POLL IS HEADROOM-CONDITIONAL (VERDICT r10 #2): it exists to
+    stop a tens-of-GB next stage racing tens of GB of pending deletes
+    to ENOSPC, but at bench scale the block-manager scratch holds a
+    few MB and the fixed two-sample floor (~1 s per staging point) was
+    the single largest per-query cost of the staged queries at sf0.1
+    (2.6x on candidate_recall). When everything the spool COULD
+    reclaim — all bytes under its blockmgr dirs, live blocks included,
+    so the estimate only errs toward polling — is under
+    SPARK_GRAFT_RECLAIM_MIN_BYTES (default 1 GiB), skipping the wait
+    risks at most that much transient over-occupancy, three orders of
+    magnitude below the headroom the guard protects. This is an
+    I/O-side condition only: the gc/System.gc enqueue stays
+    unconditional and no query PLAN forks on it."""
     import gc
     import shutil
     import tempfile
@@ -301,6 +338,8 @@ def reclaim(spark, settle_secs: float = 20.0) -> None:
     spool = (
         spark.sparkContext.getConf().get("spark.local.dir", tempfile.gettempdir())
     ).split(",")[0]
+    if _scratch_bytes(spool) < _RECLAIM_MIN_BYTES:
+        return
     try:
         free = shutil.disk_usage(spool).free
     except OSError:

@@ -1,0 +1,61 @@
+"""reclaim()'s settle poll is headroom-conditional (round 11).
+
+The poll exists to stop a tens-of-GB staged job racing pending
+shuffle-file deletes to ENOSPC; when the block-manager scratch holds
+less than SPARK_GRAFT_RECLAIM_MIN_BYTES it must return immediately
+after the gc enqueue instead of paying the ~1 s two-sample floor —
+that floor was the dominant per-query cost of the staged dedup
+queries at sf0.1 (VERDICT r10 #2).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from mapreducecore_spark.queries import _util
+
+
+def test_scratch_bytes_counts_blockmgr_files_only(tmp_path):
+    bm = tmp_path / "blockmgr-0000-aaaa"
+    (bm / "0c").mkdir(parents=True)
+    (bm / "0c" / "shuffle_0_0_0.data").write_bytes(b"x" * 1234)
+    (bm / "rdd_1_0").write_bytes(b"y" * 100)
+    # Non-blockmgr siblings are not scratch and must not count.
+    other = tmp_path / "spark-driver-tmp"
+    other.mkdir()
+    (other / "big.bin").write_bytes(b"z" * 10_000)
+    assert _util._scratch_bytes(str(tmp_path)) == 1334
+
+
+def test_scratch_bytes_empty_spool(tmp_path):
+    assert _util._scratch_bytes(str(tmp_path)) == 0
+
+
+def test_reclaim_skips_settle_poll_when_scratch_is_small(spark):
+    # Warm the gc path once (first System.gc can include one-time work).
+    _util.reclaim(spark)
+    t0 = time.monotonic()
+    _util.reclaim(spark)
+    dt = time.monotonic() - t0
+    # The old unconditional poll had a hard >= 1.0 s floor (two 0.5 s
+    # samples); the conditional path is gc-only. Generous bound: the
+    # assertion fails iff the poll ran.
+    assert dt < 0.95, f"reclaim() polled despite tiny scratch ({dt:.2f}s)"
+
+
+def test_reclaim_polls_when_scratch_exceeds_threshold(spark, monkeypatch):
+    monkeypatch.setattr(_util, "_RECLAIM_MIN_BYTES", 0)
+    t0 = time.monotonic()
+    _util.reclaim(spark, settle_secs=2.0)
+    dt = time.monotonic() - t0
+    assert dt >= 0.95, f"reclaim() skipped the poll below threshold ({dt:.2f}s)"
+
+
+def test_reclaim_min_bytes_env_override():
+    # The default must be documented and env-tunable; this pins the
+    # parse path, not the running process's value (module already
+    # imported), so read it the way the module does.
+    assert _util._RECLAIM_MIN_BYTES == int(
+        os.environ.get("SPARK_GRAFT_RECLAIM_MIN_BYTES", str(1 << 30))
+    )
