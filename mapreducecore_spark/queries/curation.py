@@ -1182,6 +1182,17 @@ def classifier_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigmoid to 6 decimals (the 1-ulp exp() engine divergence sits ~5
     orders inside that grid — the perplexity op's argument), and
     (p - y) * count is exactly representable in DECIMAL(28,6)."""
+    w, _feats = _lr_train_parts(spark, sf_dir)
+    return w
+
+
+def _lr_train_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """classifier_lr_train's body, returning (weights, feats) so the
+    train-then-apply query can SCORE on the same checkpointed feature
+    table training already built instead of re-running the
+    tokenize/md5/count pass — one full corpus tokenization saved per
+    composed run (round 11; guide §1.2 'don't compute things twice').
+    Row-identical to recomputing: feats is deterministic per corpus."""
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"])
     feats = materialize(
@@ -1231,7 +1242,7 @@ def classifier_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(p - y AS DECIMAL(18,6)) * x")).alias("grad")
         )
     )
-    return (
+    w = (
         w1.join(g2, "bucket")
         .crossJoin(F.broadcast(n))
         .selectExpr(
@@ -1240,6 +1251,7 @@ def classifier_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ROUND(w - {_LR_RATE} * CAST(grad AS DOUBLE) / n_docs, 6) AS w_step2",
         )
     )
+    return w, feats
 
 
 _CLS_TRAINED_ORACLE = f"""
@@ -1279,18 +1291,12 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle stays hash-exact."""
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"])
-    w = materialize(
-        classifier_lr_train(spark, sf_dir).select("bucket", "w_step2")
-    )
-    feats = (
-        docs.selectExpr("doc_id", f"explode({_TOKS}) AS token")
-        .selectExpr(
-            "doc_id",
-            f"CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) % {_CLS_BUCKETS} AS bucket",
-        )
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("x"))
-    )
+    # Round 11: score on the SAME checkpointed feature table training
+    # built (row-identical by determinism) — previously this block
+    # re-ran the whole tokenize/explode/md5/count pipeline, a second
+    # full corpus tokenization per composed run.
+    trained, feats = _lr_train_parts(spark, sf_dir)
+    w = materialize(trained.select("bucket", "w_step2"))
     z = (
         feats.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")
