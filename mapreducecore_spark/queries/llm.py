@@ -126,6 +126,23 @@ def _mh_formula(h_expr: str, seed: int) -> str:
     )
 
 
+def _mh_formula_lambda(h_expr: str, seed: int) -> str:
+    """_mh_formula for Spark SQL LAMBDA bodies: the `>>`/`<<` operator
+    spellings fail to parse inside `x -> ...` (Spark 4 parser quirk —
+    measured, not speculated), so this emits the shiftright()/
+    shiftleft() function forms instead. Arithmetic is identical for
+    the 60-bit non-negative h domain (property-tested against
+    _mh_formula in tests/test_minhash_formula.py). Spark-only — the
+    DuckDB oracles keep the operator form via _mh_formula."""
+    a, b = 2 * seed + 1, 1000003 * seed + 17
+    h = h_expr
+    return (
+        f"(shiftright(shiftright({h}, 32) * {a}, 29)"
+        f" + shiftleft(shiftright({h}, 32) * {a} & 536870911, 32)"
+        f" + ({h} & 4294967295) * {a} + {b}) % {_MINHASH_P}"
+    )
+
+
 # Degenerate-bucket guard: a huge exact-dup cluster puts thousands of
 # docs into one (band_id, sig) bucket; an unguarded self-join emits
 # O(n^2) clique pairs there (the same failure class the simhash band
@@ -245,6 +262,11 @@ def _band_signatures(docs: DataFrame) -> DataFrame:
     # shuffle keyed by doc_id, no seed explosion/join. Partial min()
     # runs map-side, so shuffle volume is n_docs x 8 ints regardless of
     # shingle count; one md5 per shingle, 8 arithmetic permutations.
+    # (Round 11 tried the in-row array_min(transform(...)) form here
+    # and measured it ~1.5x SLOWER at 3000x on the flagship — SQL
+    # higher-order lambdas are interpreted, not codegen'd, and this
+    # mhs-only aggregate has no sort-fallback spill to save. In-row is
+    # only a win for the collect_set branch of _minhash_member_rows.)
     sh = sh.selectExpr(
         "doc_id",
         "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h",
@@ -900,46 +922,83 @@ def _minhash_member_rows(
     collected a 3000-doc exact-dup cluster's entire hs payload —
     ~1.2 MB, unbounded in cluster size — into one row).
     The width/rep pre-pass rows are narrow (ids + sig string)."""
-    sh = (
-        docs.filter(F.expr("size(toks) >= 3"))
-        .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
-        .selectExpr(
-            "doc_id",
-            "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h",
-        )
-    )
-    # One corpus aggregation: signature vector (+ hashed shingle set).
-    # Materialized because the band-metadata pre-pass and the final
-    # bucket build both consume it (Spark plans are trees). n_sh =
-    # |distinct hashes| (oracle mirrors): deriving it from hs spares
-    # the Expand shuffle COUNT(DISTINCT shingle) costs.
-    # NOT eager (round 8, measured both ways): when spread() has put an
-    # exchange under this pipeline, shuffle reuse already dedups the
-    # heavy map work across the consumer branches and eager only added
-    # a block write+reread (3000x: 139 s lazy vs 166 s eager); on the
-    # many-file fifth-decade corpus (no spread exchange) eager's extra
-    # resident blocks instead blew the single box's DISK ceiling. The
-    # duplicate narrow recompute that remains there is bounded by the
-    # post-exchange reduce work, and the 32 MB scan splits on the
-    # expanding clone recover most of it (781 -> 624 s at 10000x).
-    mhs_agg = F.array(
-        *[F.min(F.expr(_mh_formula("h", s))) for s in range(_MINHASH_SEEDS)]
-    ).alias("mhs")
     if with_sets:
-        # big=True: the hs arrays make this frame corpus-sized, and
-        # default-storage blocks would pin protected storage memory
-        # against the downstream bucket aggregates (1000x sweep).
+        # IN-ROW signatures for the hs-carrying branch (round 11,
+        # guide §2.4 "remove shuffles outright", A/B'd at 3000x both
+        # ways): the hashed shingle set and the 8-way minhash vector
+        # are pure per-document functions, computed as row-local
+        # higher-order expressions — no explode, no doc_id exchange,
+        # and (the real killer) no ObjectHashAggregate sort-fallback:
+        # collect_set over ~unique doc keys ALWAYS fell back past 128
+        # hash-map entries and sorted the full exploded shingle volume
+        # per task (3000x: 8.9k core-sec, 15 GB spill, GCLocker retry
+        # storms from the sort buffer's 256 MB humongous allocations).
+        # In-row at 3000x: signature stage 4.9k core-sec, ZERO spill,
+        # query shuffle 45.7 -> 37.2 GB, total spill 16.3 -> 9.1 GB.
+        # VALUE-IDENTICAL: _shingles_expr is already distinct in-row,
+        # array_distinct(transform(shingles, md5->int)) equals
+        # collect_set(h) as a SET (order differs; every consumer is
+        # order-insensitive: array_intersect, size, min), and min over
+        # the exploded multiset equals array_min over the distinct
+        # set. The with_sets=False branch below deliberately KEEPS the
+        # explode+groupBy form — measured 228.5 s vs 336.4 s in-row at
+        # 3000x on the flagship: higher-order lambdas are interpreted
+        # (no codegen), which ~doubles the md5+permutation CPU, and
+        # the plain min() aggregate is fixed-width HashAggregate with
+        # no sort-fallback to save. In-row only pays off where it
+        # deletes the collect_set spill.
+        # EAGER always: with the doc_id exchange gone there is no
+        # shuffle for AQE stage-reuse to dedup across the consumer
+        # branches, and a LAZY checkpoint's partitions can be computed
+        # concurrently by two consumer stages of one job (the r8 cache
+        # race / concurrent-text-scan OOM) — one solo signature job
+        # writes the DISK_ONLY blocks (big=True: the hs arrays make
+        # this frame corpus-sized; default-storage blocks would pin
+        # protected storage memory against the downstream bucket
+        # aggregates, 1000x sweep), everything downstream reads them.
+        mhs_expr = (
+            "array("
+            + ", ".join(
+                f"array_min(transform(hs, h -> {_mh_formula_lambda('h', s)}))"
+                for s in range(_MINHASH_SEEDS)
+            )
+            + ") AS mhs"
+        )
         per_doc = materialize(
-            sh.groupBy("doc_id")
-            .agg(F.collect_set("h").alias("hs"), mhs_agg)
-            .select(
-                "doc_id", "hs", F.size("hs").cast("bigint").alias("n_sh"), "mhs"
-            ),
+            docs.filter(F.expr("size(toks) >= 3"))
+            .selectExpr(
+                "doc_id",
+                f"array_distinct(transform({_shingles_expr(3)}, "
+                "s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))) AS hs",
+            )
+            .selectExpr("doc_id", "hs", "CAST(size(hs) AS BIGINT) AS n_sh", mhs_expr),
             big=True,
-            eager=staged,
+            eager=True,
         )
         member = F.struct("doc_id", "hs", "n_sh", "mhs", "bws", "reps")
     else:
+        # Explode + paired min() aggregation (KEPT, see the in-row
+        # rationale above): one md5 per distinct shingle through
+        # whole-stage codegen, 8 allocation-free permutation mins
+        # partial-aggregated map-side, one narrow (doc_id x 8 ints)
+        # exchange. NOT eager (round 8, measured both ways): when
+        # spread() has put an exchange under this pipeline, shuffle
+        # reuse already dedups the heavy map work across the consumer
+        # branches and eager only added a block write+reread (3000x:
+        # 139 s lazy vs 166 s eager); on the many-file fifth-decade
+        # corpus (no spread exchange) eager's extra resident blocks
+        # instead blew the single box's DISK ceiling.
+        sh = (
+            docs.filter(F.expr("size(toks) >= 3"))
+            .selectExpr("doc_id", f"explode({_shingles_expr(3)}) AS shingle")
+            .selectExpr(
+                "doc_id",
+                "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h",
+            )
+        )
+        mhs_agg = F.array(
+            *[F.min(F.expr(_mh_formula("h", s))) for s in range(_MINHASH_SEEDS)]
+        ).alias("mhs")
         # big=True even without the hs payload: per_doc is still one
         # row per document (narrow, but CORPUS-sized), and the round-7
         # fourth-decade run showed default MEMORY_AND_DISK blocks of
@@ -950,13 +1009,15 @@ def _minhash_member_rows(
     if staged:
         # Staged-sides mode (VERDICT r9 #1, the candidate_recall
         # fifth-decade recipe applied to the scorers): per_doc was just
-        # built as its OWN eager job, so the shingle explode/collect_set
-        # shuffle — shingle-level volume, the single biggest transient
-        # in the with_sets pipeline — is dead now; reclaim() deletes it
-        # BEFORE the band-metadata and bucket-exchange jobs start
-        # writing, capping peak transient disk at max(stage) instead of
-        # the sum that ENOSPCed the scorers' 3000x re-attestation
-        # (61.3 GB live vs ~55 GB free, BASELINE.md round 9).
+        # built as its OWN eager job, so that job's dead transients —
+        # since round 11's in-row signatures that is the spread()
+        # exchange of the raw text (the shingle explode/collect_set
+        # shuffle it used to be no longer exists) — are deleted by
+        # reclaim() BEFORE the band-metadata and bucket-exchange jobs
+        # start writing, capping peak transient disk at max(stage)
+        # instead of the sum that ENOSPCed the scorers' 3000x
+        # re-attestation (61.3 GB live vs ~55 GB free, BASELINE.md
+        # round 9).
         reclaim(docs.sparkSession)
     n_bands = _MINHASH_SEEDS // 2
     band_structs = F.array(

@@ -177,6 +177,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Heap-floor fail-fast (VERDICT r10 #4): an under-heaped TRAINING
+    # operator (the IVF/Lloyd family has a per-JVM heap floor — one 8g
+    # executor completes where two 4g executors OOM at the same
+    # aggregate memory, BASELINE.md round 10) otherwise relaunch-loops
+    # its executor 100+ times on a standalone worker before the master
+    # gives up. Set SPARK_GRAFT_MAX_TASK_FAILURES (e.g. 2) on cluster
+    # runs so a doomed configuration dies in seconds; unset, Spark's
+    # default stands (local mode fails fast already at 1).
+    if os.environ.get("SPARK_GRAFT_MAX_TASK_FAILURES"):
+        builder = builder.config(
+            "spark.task.maxFailures", os.environ["SPARK_GRAFT_MAX_TASK_FAILURES"]
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():

@@ -106,3 +106,27 @@ def test_spark_matches_duckdb_on_shared_grid(spark) -> None:
         f"SELECT h, {', '.join(exprs)} FROM (VALUES {vals_sql}) t(h) ORDER BY h"
     ).fetchall()
     assert [tuple(r) for r in sdf] == ddf
+
+
+@pytest.mark.parametrize("seed", range(_MINHASH_SEEDS))
+def test_lambda_form_matches_operator_form_in_spark(spark, seed: int) -> None:
+    """Round 11: the in-row signature pipeline evaluates the permutation
+    inside SQL lambdas, where the `>>`/`<<` operator spellings fail to
+    parse — _mh_formula_lambda emits shiftright()/shiftleft() instead.
+    Property: bit-identical to _mh_formula (and so to the Python
+    big-int reference) over the 60-bit domain, evaluated in an actual
+    lambda (transform over a single-element array)."""
+    import random
+
+    from mapreducecore_spark.queries.llm import _mh_formula_lambda
+
+    rng = random.Random(0x5EED + seed)
+    values = EDGE_VALUES + [rng.randrange(0, H_MAX + 1) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in values], "h bigint")
+    rows = df.selectExpr(
+        "h",
+        f"{_mh_formula('h', seed)} AS op_form",
+        f"array_min(transform(array(h), h -> {_mh_formula_lambda('h', seed)})) AS fn_form",
+    ).collect()
+    for r in rows:
+        assert r.fn_form == r.op_form == _py_ref(r.h, seed), (r.h, seed)
