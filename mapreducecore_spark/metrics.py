@@ -41,4 +41,18 @@ def delta(app_id: str, before_max_stage: int, port: int = DEFAULT_UI_PORT) -> tu
     stages newer than `before_max_stage`."""
     _, per = snapshot(app_id, port)
     new = {sid: b for sid, b in per.items() if sid > before_max_stage}
+    # RETENTION GUARD (ADVICE r11): bench.py bounds UI stage retention
+    # (400) for driver-GC stability; a query spawning a stage count
+    # near that window would silently age its own earliest stages out
+    # of the REST view and under-report shuffle bytes. Warn loudly at
+    # half the window so the sample is flagged instead of quietly low.
+    if len(new) > 200:
+        import sys
+
+        print(
+            f"metrics: WARNING query produced {len(new)} retained stages — "
+            "approaching bench.py's retainedStages=400 window; "
+            "shuffle-byte sample may be truncated",
+            file=sys.stderr,
+        )
     return sum(new.values()), max(new.values(), default=0)

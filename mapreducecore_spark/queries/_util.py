@@ -83,6 +83,19 @@ def spread(df, min_parts: int = 16):
     at the fourth decade) and is the same fixed-width mistake the
     pre-AQE shuffle ceiling was (BASELINE.md round 6). Non-local
     paths, where sizes are not cheaply knowable, keep min_parts.
+
+    WAVE-BALANCED (round 12, guide §2.6 / VERDICT r11 #1): a width
+    that lands just past a multiple of the core count schedules a
+    near-empty final wave — the fourth-decade scorer profiles showed
+    45 tasks on 32 cores, so the signature/scan stages ran two waves
+    with the second 60% idle. When the size-derived width exceeds
+    defaultParallelism it is rounded UP to the next multiple of it:
+    same total work, one fewer straggler wave (45 -> 64 means two
+    FULL waves of smaller tasks instead of a 32+13 split). Widths at
+    or below one wave (the sf0.1 bench: every table sizes to the
+    16-partition floor) are untouched, so toy-scale plans and the
+    driver's bench are byte-identical. The 2048 cap wins over exact
+    divisibility — at 64+ waves the tail is amortized anyway.
     """
     _assert_scan_adjacent(df)
     files = df.inputFiles()
@@ -98,10 +111,22 @@ def spread(df, min_parts: int = 16):
             if p.scheme not in ("", "file"):
                 raise OSError(f"non-local: {f}")
             total += os.path.getsize(unquote(p.path))
-        n = min(2048, max(min_parts, -(-total // (32 << 20))))
+        n = _spread_width(
+            total, min_parts, df.sparkSession.sparkContext.defaultParallelism
+        )
     except OSError:
         pass
     return df.repartition(n, F.monotonically_increasing_id())
+
+
+def _spread_width(total_bytes: int, min_parts: int, parallelism: int) -> int:
+    """Pure width rule for spread(), unit-tested in test_operators.py:
+    ~32 MB per partition, >= min_parts, <= 2048, and any width past
+    one wave of `parallelism` rounds UP to a multiple of it."""
+    n = min(2048, max(min_parts, -(-total_bytes // (32 << 20))))
+    if parallelism > 0 and n > parallelism:
+        n = min(2048, -(-n // parallelism) * parallelism)
+    return n
 
 
 # Nodes allowed between spread() and its scan: narrow, order-preserving
@@ -268,16 +293,29 @@ _RECLAIM_MIN_BYTES = int(
 
 
 def _scratch_bytes(spool: str) -> int:
-    """Total bytes currently held by Spark block-manager scratch dirs
-    under the shuffle spool — an upper bound on what a settle wait
-    could possibly reclaim (it also counts LIVE blocks, e.g. resident
-    DISK_ONLY checkpoints, so it only ever errs toward polling)."""
+    """Bytes of RECLAIMABLE block-manager scratch under the shuffle
+    spool — an upper bound on what a settle wait could possibly free.
+
+    `rdd_*` block files are EXCLUDED (round 12, VERDICT r11 #3): those
+    are resident localCheckpoint partitions, pinned by live DataFrames
+    until the caller drops them — a settle poll can never reclaim
+    them, but counting them meant a long sweep session accumulated
+    enough DISK_ONLY checkpoint residue (>1 GiB after hundreds of
+    materialize() calls) to silently re-activate the poll on queries
+    whose actual pending-delete volume was a few MB (in-sweep
+    candidate_recall ~4.7 s vs 4.2 s warm-standalone). Everything else
+    under blockmgr-* (shuffle_*.data/.index, temp_*, broadcast_*) is
+    either deletable by the ContextCleaner drain the poll watches or
+    transient, so the estimate still errs toward polling for the
+    ENOSPC race the guard exists for (pending dead-shuffle deletes)."""
     import glob
 
     total = 0
     for d in glob.glob(os.path.join(spool, "blockmgr-*")):
         for root, _dirs, files in os.walk(d):
             for f in files:
+                if f.startswith("rdd_"):
+                    continue
                 try:
                     total += os.path.getsize(os.path.join(root, f))
                 except OSError:
@@ -327,7 +365,14 @@ def reclaim(spark, settle_secs: float = 20.0) -> None:
     risks at most that much transient over-occupancy, three orders of
     magnitude below the headroom the guard protects. This is an
     I/O-side condition only: the gc/System.gc enqueue stays
-    unconditional and no query PLAN forks on it."""
+    unconditional and no query PLAN forks on it.
+
+    CLUSTER NOTE (ADVICE r11): the estimate reads only the DRIVER-local
+    spool; with remote executors the pending shuffle deletes live on
+    executor disks, so the condition would near-always fire and
+    silently disable the settle poll. Distributed deployments should
+    set SPARK_GRAFT_RECLAIM_MIN_BYTES=0 (poll always) — same place the
+    SPARK_GRAFT_MAX_TASK_FAILURES cluster note applies (session.py)."""
     import gc
     import shutil
     import tempfile

@@ -359,6 +359,32 @@ def test_spread_guard_rejects_non_scan_frames(spark, sf_dir):
             spread(bad)
 
 
+def test_spread_width_wave_balanced():
+    """Round 12 (guide §2.6 / VERDICT r11 #1): a size-derived width
+    past one wave of cores rounds UP to a multiple of the core count —
+    the 3000x corpus sized to 45 tasks on 32 cores and ran a 32+13
+    two-wave split with the second wave 60% idle. Widths at or below
+    one wave (every sf0.1 table) are untouched, so toy-scale plans are
+    byte-identical."""
+    from mapreducecore_spark.queries._util import _spread_width
+
+    mb = 1 << 20
+    # sf0.1 shape: tiny file -> floor, untouched by wave rounding
+    assert _spread_width(300 * mb // 100, 16, 32) == 16
+    # exactly one wave: untouched
+    assert _spread_width(32 * 32 * mb, 16, 32) == 32
+    # the measured 3000x case: 1.5 GB -> 45 raw -> 64 (two full waves)
+    assert _spread_width(1_495_605_131, 16, 32) == 64
+    # just past a wave boundary -> next multiple
+    assert _spread_width(33 * 32 * mb, 16, 32) == 64
+    # floor stays a floor when cores exceed it (cluster dp=128)
+    assert _spread_width(1 * mb, 16, 128) == 16
+    # cap wins over divisibility
+    assert _spread_width(1 << 40, 16, 24) == 2048
+    # degenerate parallelism: no rounding, no crash
+    assert _spread_width(1_495_605_131, 16, 0) == 45
+
+
 def test_table_cache_does_not_pin_dropped_sessions(spark, sf_dir):
     """ADVICE r9 #1 (and the round-10 correction to its first fix):
     load_tables' plan cache must not keep a dropped session alive.

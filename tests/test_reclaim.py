@@ -20,12 +20,27 @@ def test_scratch_bytes_counts_blockmgr_files_only(tmp_path):
     bm = tmp_path / "blockmgr-0000-aaaa"
     (bm / "0c").mkdir(parents=True)
     (bm / "0c" / "shuffle_0_0_0.data").write_bytes(b"x" * 1234)
+    # Live localCheckpoint blocks are NOT reclaimable by a settle wait
+    # and must not count (round 12): a long session's accumulated
+    # DISK_ONLY checkpoints otherwise re-activate the poll silently.
     (bm / "rdd_1_0").write_bytes(b"y" * 100)
+    (bm / "0c" / "rdd_7_31").write_bytes(b"y" * 50_000)
     # Non-blockmgr siblings are not scratch and must not count.
     other = tmp_path / "spark-driver-tmp"
     other.mkdir()
     (other / "big.bin").write_bytes(b"z" * 10_000)
-    assert _util._scratch_bytes(str(tmp_path)) == 1334
+    assert _util._scratch_bytes(str(tmp_path)) == 1234
+
+
+def test_scratch_bytes_counts_temp_and_broadcast(tmp_path):
+    # temp_* and broadcast_* blocks stay countable — both are cleaner-
+    # deletable, so excluding them would err AWAY from polling.
+    bm = tmp_path / "blockmgr-0000-bbbb"
+    bm.mkdir()
+    (bm / "temp_shuffle_uuid0").write_bytes(b"x" * 300)
+    (bm / "broadcast_3").write_bytes(b"x" * 200)
+    (bm / "shuffle_1_0_0.index").write_bytes(b"x" * 16)
+    assert _util._scratch_bytes(str(tmp_path)) == 516
 
 
 def test_scratch_bytes_empty_spool(tmp_path):
@@ -65,10 +80,12 @@ def test_reclaim_polls_when_scratch_exceeds_threshold(spark, monkeypatch):
     assert slept, "reclaim() skipped the settle poll above threshold"
 
 
-def test_reclaim_min_bytes_env_override():
-    # The default must be documented and env-tunable; this pins the
-    # parse path, not the running process's value (module already
-    # imported), so read it the way the module does.
-    assert _util._RECLAIM_MIN_BYTES == int(
-        os.environ.get("SPARK_GRAFT_RECLAIM_MIN_BYTES", str(1 << 30))
-    )
+def test_reclaim_min_bytes_default():
+    # ADVICE r11: the old form re-evaluated the module's own expression
+    # (tautology). Pin the LITERAL default when the env var is unset;
+    # when an operator has set it, pin that the module honored it.
+    env = os.environ.get("SPARK_GRAFT_RECLAIM_MIN_BYTES")
+    if env is None:
+        assert _util._RECLAIM_MIN_BYTES == 1 << 30
+    else:
+        assert _util._RECLAIM_MIN_BYTES == int(env)
