@@ -13,6 +13,7 @@ real deployment writes parquet/Kafka via the same writeStream.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +46,35 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fix_event_ts(raw)
 
 
+def _stream_scratch(prefix: str) -> str:
+    """Per-invocation scratch dir for streaming checkpoints/re-laid
+    inputs, on the fastest LOCAL filesystem (round 12, guide §1.2/§7).
+
+    Every micro-batch pays two WAL fsyncs (offsets + commit) plus one
+    state-store delta file per partition per stateful operator, all
+    under the checkpoint dir. These drains are availableNow backfills
+    into per-run sinks — the checkpoint is pure scratch (a fresh UUID
+    name each call, never resumed), so durability of the WAL buys
+    nothing here and the fsyncs are pure per-batch latency on a
+    spinning/virtual disk. A tmpfs mount (/dev/shm) makes them memory
+    writes. Production streams that must survive a restart point their
+    checkpoint at durable storage INSTEAD — parameterised via
+    SPARK_GRAFT_STREAM_SCRATCH (set it to a disk path to opt out, e.g.
+    when /dev/shm is too small for a large re-laid input); unset, the
+    default is /dev/shm when writable, else the system tempdir.
+    Cleanup is registered at process exit like the sink tempdirs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if not base:
+        base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _drain(out: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
     """Run the streaming frame to completion (availableNow) into a
     memory sink; return the sink contents as a batch DataFrame.
@@ -58,17 +88,18 @@ def _drain(out: DataFrame, spark: SparkSession, mode: str = "complete") -> DataF
     micro-batch (a stream-stream join provisions FOUR stores per
     shuffle partition), and AQE cannot coalesce those partitions, so
     the width is set explicitly here rather than inherited from the
-    batch-tuned session: 8 at test scale (measured 2.2x faster than 32
-    on the interval join, identical results), raised via
-    SPARK_GRAFT_STREAM_SHUFFLE for a real cluster where state must
-    spread across executors. The conf is captured when the query
-    starts and pinned into its checkpoint, so the restore below cannot
-    affect a running stream.
+    batch-tuned session: 4 at test scale (r5 measured 8 as 2.2x faster
+    than 32 on the interval join; a round-12 interleaved same-JVM A/B
+    then measured 4 beating 8 on every stateful drain — interval join
+    2.6->2.3 s, incremental wm 3.7->3.2 s medians, flat on the
+    low-state queries — same store-provisioning argument, identical
+    results), raised via SPARK_GRAFT_STREAM_SHUFFLE for a real cluster
+    where state must spread across executors. The conf is captured
+    when the query starts and pinned into its checkpoint, so the
+    restore below cannot affect a running stream.
     """
-    import os
-
     name = f"live_{uuid.uuid4().hex[:12]}"
-    width = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    width = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", width)
     try:
@@ -76,6 +107,11 @@ def _drain(out: DataFrame, spark: SparkSession, mode: str = "complete") -> DataF
             out.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
+            # Explicit tmpfs-backed checkpoint (round 12): without it
+            # Spark creates the temp checkpoint under java.io.tmpdir on
+            # the system disk and every micro-batch's offset/commit WAL
+            # fsyncs plus state-store delta writes pay disk latency.
+            .option("checkpointLocation", _stream_scratch("mrc_ckpt_") + "/ckpt")
             .trigger(availableNow=True)
             .start()
         )
@@ -293,18 +329,13 @@ def stream_live_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     contract the memory-sink entries can't test. Scratch dirs are
     per-call tempdirs (test plumbing; production points out_dir at the
     lake path and keeps the same checkpoint across runs)."""
-    import atexit
-    import shutil
-    import tempfile
-
     from mapreducecore_spark.streaming.sinks import idempotent_parquet_sink
 
     ev = _event_stream(spark, sf_dir).select("event_id", "event_type", "value")
     # The returned DataFrame lazily reads from `tmp`, so removal must
-    # wait until the caller has consumed it — register process-exit
-    # cleanup instead of leaking a dir per invocation into /tmp.
-    tmp = tempfile.mkdtemp(prefix="mrc_fb_sink_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    # wait until the caller has consumed it — _stream_scratch registers
+    # process-exit cleanup instead of leaking a dir per invocation.
+    tmp = _stream_scratch("mrc_fb_sink_")
     q = (
         idempotent_parquet_sink(ev, f"{tmp}/out", f"{tmp}/ckpt")
         .trigger(availableNow=True)
@@ -500,17 +531,12 @@ def stream_live_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     into batches cannot change the answer. State size is bounded by
     key cardinality, never stream length — the deployable shape for an
     unbounded CDC feed."""
-    import atexit
-    import shutil
-    import tempfile
-
     from mapreducecore_spark.streaming.sinks import (
         latest_merge_snapshot,
         versioned_merge_sink,
     )
 
-    tmp = tempfile.mkdtemp(prefix="mrc_cdc_merge_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    tmp = _stream_scratch("mrc_cdc_merge_")
     # Re-lay the backlog as 4 files (ts already normalized by the
     # catalog) so the file source yields 4 real micro-batches.
     from mapreducecore_spark.catalog import load_tables
@@ -752,7 +778,7 @@ def _incremental_dedup_stream(
         _minhash_banded,
         _shingles_expr,
     )
-    from mapreducecore_spark.queries._util import spread
+    from mapreducecore_spark.queries._util import materialize, spread
 
     tune_session(spark)
     docs = load_tables(spark, sf_dir)["documents"]
@@ -761,27 +787,71 @@ def _incremental_dedup_stream(
         .filter(F.col("doc_id") % 10 != 0)
         .selectExpr("doc_id", f"{_TOKS} AS toks")
     )
-    idx = (
+    # materialize (round 12, guide §1.2): a stream-STATIC join re-plans
+    # AND re-executes the static side every micro-batch — this drain
+    # runs 4 batches (4 hour-apart ingest files), so the whole
+    # shingle/minhash/band pipeline over 90% of the corpus ran FOUR
+    # times. Checkpointing the compact (band_id, sig, match_id) index
+    # once makes batches 2-4 read materialized blocks instead; eager so
+    # the index job finishes before the stream starts (and is charged
+    # visibly, not inside batch 1). Rows identical — the oracle and the
+    # eviction test (numRowsRemoved > 0) pin both output and semantics.
+    idx = materialize(
         _minhash_banded(old_docs)
         .selectExpr(
             "band_id",
             "sig",
             f"CASE WHEN bw <= {_MINHASH_MAX_BUCKET} THEN doc_id ELSE rep END AS match_id",
         )
-        .distinct()
+        .distinct(),
+        eager=True,
     )
 
     # Re-lay the new batch as 4 sequential files, each stamped with an
     # ingest_ts one hour after the previous — a compressed stand-in for
     # an unbounded feed where ingest time advances monotonically, so
     # the watermark actually moves and state actually expires.
-    new_docs = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
-    for i in range(4):
-        new_docs.filter((F.col("doc_id") / 10) % 4 == i).withColumn(
-            "ingest_ts", F.lit(f"2024-01-01 {i:02d}:00:00").cast("timestamp")
-        ).repartition(1).write.mode("overwrite").parquet(f"{in_dir}/s{i}")
+    #
+    # ONE job, not four (round 12, guide §1.2): the old per-batch loop
+    # ran 4 sequential repartition(1)+write jobs (~0.8 s of the wm
+    # drain's profile was these jobs plus their scheduling gaps). A
+    # single partitionBy("grp") write of one task lays out the same 4
+    # files in one job. The file source replays files in MODIFICATION-
+    # TIME order (FileStreamSource sorts by timestamp), which the old
+    # sequential writes guaranteed implicitly; one job writes all 4
+    # within the same clock tick, so the order the watermark semantics
+    # depend on is pinned EXPLICITLY with os.utime (one second apart,
+    # far above the source's ms granularity). The eviction test
+    # (numRowsRemoved > 0) and the oracle both break if this order ever
+    # regresses.
+    grp = ((F.col("doc_id") / 10) % 4).cast("int")
+    (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            "text",
+            grp.alias("grp"),
+            F.to_timestamp(
+                F.format_string("2024-01-01 %02d:00:00", grp)
+            ).alias("ingest_ts"),
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("grp")
+        .parquet(in_dir)
+    )
+    import time as _time
 
-    schema = spark.read.parquet(f"{in_dir}/s0").schema
+    t0 = _time.time()
+    for root, _dirs, files in os.walk(in_dir):
+        m = root.rsplit("grp=", 1)
+        if len(m) != 2 or not m[1].isdigit():
+            continue
+        for f in files:
+            if not f.startswith(("_", ".")):
+                os.utime(os.path.join(root, f), times=(t0, t0 + int(m[1])))
+
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(in_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -852,11 +922,6 @@ def stream_live_incremental_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFr
     100 TB shape: state is one row per in-flight pair per retention
     window, independent of total stream length — the property the
     unbounded form cannot offer."""
-    import atexit
-    import shutil
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="mrc_incr_wm_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    tmp = _stream_scratch("mrc_incr_wm_")
     out = _incremental_dedup_stream(spark, sf_dir, f"{tmp}/in")
     return _drain(out, spark, mode="append")
