@@ -47,20 +47,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # window (~50 entries / round). Emit the registry in an explicit
 # priority order so the window always covers the flagship LLM-pipeline
 # operators (dedup/ANN) and live streaming; everything else follows.
-# ROUND-10 ROTATION (VERDICT r9 #5): exactly 50 names, counted by
-# tests/test_registry_window.py. Composition: 8 flagship/streaming
-# keeper slots; 5 re-attestations of code whose shared pipeline was
-# reworked this round (_minhash_member_rows grew staged sides and the
-# base-join restructure, so every _minhash_band_pairs/_emit_bucket_pairs
-# consumer re-attests: the two exact-Jaccard scorers, candidate_recall,
-# connected_components, savings_report); and 37 of the 39 entries whose
-# newest green row is r4 — the entire r4-vintage tail except
-# dedup_exact_normalized and doc_fingerprint, deferred to r11 because
-# both have crafted-corpus pytest parity and an r7+-green sibling
-# (dedup_exact keeps its keeper slot; doc_fingerprint_winnow is
-# r7-green). Staleness computed from CORRECTNESS_r01-r09 (cumulative
-# union 227/231; the 4 rows-only approx ops keep their sf0.1
-# error-bound tests instead of burning window slots).
+# ROUND-12 ROTATION (VERDICT r11 #6, deferred from r10 #1): exactly 50
+# names, counted by tests/test_registry_window.py. Composition: 5
+# flagship keepers; all 15 stream_live entries (every one is touched
+# this round: _drain's state width 8->4 and explicit tmpfs checkpoint
+# reach every drain consumer, the two sink queries share
+# _stream_scratch, and the wm/cdc re-lays were restructured); and all
+# 30 remaining entries whose newest driver-green attestation is r4/r5
+# (staleness computed from CORRECTNESS_r01-r11; the two r4s deferred at
+# r10 — dedup_exact_normalized, doc_fingerprint — lead the stale set).
+# Rotated OUT are r10's 37 r4-stale refreshes (now r11-green) and the
+# minhash scorer family (r11-green; this round's reclaim()/spread()
+# edits are I/O-timing-only and width-rounding that provably leaves
+# sf0.01 plans byte-identical — the sf0.001 oracle-parity suite still
+# covers all 227 oracle-backed entries every round).
 _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_neardup_keeper",
@@ -68,8 +68,50 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "ann_cosine_topk",
     "stream_live_tumbling_counts",
+    "stream_live_user_totals",
+    "stream_live_dedup_totals",
+    "stream_live_tws_distinct_types",
     "stream_live_append_watermark",
+    "stream_live_session_append",
     "stream_live_foreachbatch_sink",
+    "stream_live_enrich_static",
+    "stream_live_interval_join",
+    "stream_live_doc_dedup",
+    "stream_live_dedup_within_watermark",
+    "stream_live_cdc_merge",
+    "stream_live_incremental_dedup",
+    "stream_live_incremental_dedup_wm",
+    "stream_live_quality_gate",
+    "dedup_exact_normalized",
+    "doc_fingerprint",
+    "agg_approx_top_k",
+    "agg_bool_countif",
+    "agg_corr_covar",
+    "agg_filter_clause",
+    "agg_listagg_sorted",
+    "ann_pq_recall",
+    "ann_pq_topk",
+    "ann_pq_trained",
+    "classifier_lr_train",
+    "corpus_curation_pipeline_v2",
+    "corpus_curation_pipeline_v3",
+    "dedup_lines_newline",
+    "doc_fingerprint_winnow",
+    "domain_cap_kept",
+    "dsir_importance_weights",
+    "events_debounce",
+    "events_hourly_profile",
+    "events_sessionize_batch",
+    "events_stateful_counts",
+    "events_weekly_cohort_retention",
+    "quality_classifier_trained",
+    "quality_percentile_by_source",
+    "sample_deterministic_hash",
+    "sample_per_group_hash",
+    "set_except",
+    "set_intersect_all",
+    "subquery_correlated_avg",
+    "subquery_scalar_threshold",  # ---- end of the exactly-50-entry driver window ----
     "dedup_lsh_verified_pairs",
     "minhash_estimate_accuracy",
     "dedup_candidate_recall",
@@ -96,8 +138,6 @@ _PRIORITY: tuple[str, ...] = (
     "dq_anomaly_zscore",
     "dq_referential_orphans",
     "dq_mad_outliers",
-    "stream_live_tws_distinct_types",
-    "stream_live_session_append",
     "graph_pagerank_converged",
     "graph_triangle_count",
     "maintenance_compact_small_files",
@@ -111,7 +151,7 @@ _PRIORITY: tuple[str, ...] = (
     "udf_row_strmap",
     "events_sliding_window",
     "join_lateral_topn",
-    "table_merge_upsert",  # ---- end of the exactly-50-entry driver window ----
+    "table_merge_upsert",
     "semdedup_prune",
     "tfidf_top_terms",
     "set_union_by_name",
@@ -119,10 +159,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_extras",
     "agg_multi_distinct",
     "join_cross_dims",
-    "stream_live_enrich_static",
-    "stream_live_interval_join",
-    "stream_live_cdc_merge",
-    "stream_live_doc_dedup",
     "ann_ivf_trained",
     "ann_recall_eval",
     "dedup_lines_ccnet",
@@ -151,8 +187,6 @@ _PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q18_large_volume_orders",
-    "stream_live_user_totals",
-    "stream_live_dedup_totals",
     "basket_part_pairs",
     "dedup_ngram_jaccard",
     "dedup_incremental_minhash",
@@ -225,7 +259,6 @@ _PRIORITY: tuple[str, ...] = (
     "udf_pandas_scalar",
     "window_row_number",
     "agg_approx_percentile",
-    "stream_live_dedup_within_watermark",
     "quality_repetition_ratio",
     "token_length_histogram",
     "source_quality_profile",
@@ -256,43 +289,10 @@ _PRIORITY: tuple[str, ...] = (
     "json_dead_letter_split",
     "multimodal_decode",
     "multimodal_binary_dedup",
-    "stream_live_incremental_dedup_wm",
     "corpus_ingest_incremental",
-    "stream_live_incremental_dedup",
-    "domain_cap_kept",
-    "dedup_lines_newline",
-    "dsir_importance_weights",
-    "doc_fingerprint_winnow",
-    "quality_percentile_by_source",
-    "stream_live_quality_gate",
-    "corpus_curation_pipeline_v2",
-    "corpus_curation_pipeline_v3",
-    "ann_pq_topk",
-    "ann_pq_trained",
-    "ann_pq_recall",
-    "classifier_lr_train",
-    "quality_classifier_trained",
-    "events_sessionize_batch",
-    "events_debounce",
-    "events_stateful_counts",
-    "events_hourly_profile",
-    "events_weekly_cohort_retention",
-    "agg_corr_covar",
-    "agg_listagg_sorted",
-    "agg_bool_countif",
-    "agg_filter_clause",
     "agg_approx_count_distinct",
-    "agg_approx_top_k",
     "agg_hll_sketch_merge",
-    "subquery_scalar_threshold",
-    "subquery_correlated_avg",
     "sample_stratified",
-    "sample_per_group_hash",
-    "sample_deterministic_hash",
-    "set_intersect_all",
-    "set_except",
-    "doc_fingerprint",
-    "dedup_exact_normalized",
 )
 
 

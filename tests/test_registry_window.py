@@ -16,34 +16,32 @@ from mapreducecore_spark.queries import REGISTRY, _PRIORITY, _load_all, all_quer
 
 WINDOW = 50
 
-# The round-10 window composition (VERDICT r9 #5): 8 flagship/streaming
-# keepers + the 5 queries whose shared minhash pipeline code changed
-# this round (staged sides + the base-join restructure in
-# _minhash_member_rows touch every _emit_bucket_pairs consumer) + 37
-# of the 39 r4-stale entries (full list and the two documented
-# deferrals pinned in queries/__init__.py).
-ROUND10_REQUIRED = {
+# The round-12 window composition (VERDICT r11 #6): 5 flagship keepers
+# + all 15 stream_live entries (every drain consumer is touched by this
+# round's state-width/checkpoint/re-lay changes and must re-attest on
+# the shipped code) + all 30 remaining r4/r5-stale entries (full list
+# and the staleness derivation pinned in queries/__init__.py).
+ROUND12_REQUIRED = {
     # keepers
     "dedup_minhash_lsh",
     "dedup_neardup_keeper",
     "ann_lsh_bucketed",
     "dedup_exact",
     "ann_cosine_topk",
-    "stream_live_tumbling_counts",
-    "stream_live_append_watermark",
-    "stream_live_foreachbatch_sink",
-    # shared-pipeline rework — must re-attest on the shipped code
-    "dedup_lsh_verified_pairs",
-    "minhash_estimate_accuracy",
-    "dedup_candidate_recall",
-    "dedup_connected_components",
-    "dedup_savings_report",
-    # representative r4-stale refreshes (full set in queries/__init__.py)
-    "q8_market_share",
-    "scalar_try_cast",
+    # touched streaming — must re-attest on the shipped code
+    "stream_live_incremental_dedup_wm",
+    "stream_live_cdc_merge",
+    "stream_live_interval_join",
     "stream_live_tws_distinct_types",
-    "dq_column_profile",
-    "table_merge_upsert",
+    "stream_live_foreachbatch_sink",
+    # representative r4/r5-stale refreshes (full set in queries/__init__.py)
+    "dedup_exact_normalized",
+    "doc_fingerprint",
+    "ann_pq_trained",
+    "classifier_lr_train",
+    "corpus_curation_pipeline_v2",
+    "events_weekly_cohort_retention",
+    "subquery_correlated_avg",
 }
 
 
@@ -57,10 +55,10 @@ def test_priority_has_no_duplicates():
     assert len(_PRIORITY) == len(set(_PRIORITY))
 
 
-def test_round10_window_membership():
+def test_round12_window_membership():
     window = set(list(all_queries())[:WINDOW])
-    missing = ROUND10_REQUIRED - window
-    assert not missing, f"declared round-10 entries fell out of the window: {missing}"
+    missing = ROUND12_REQUIRED - window
+    assert not missing, f"declared round-12 entries fell out of the window: {missing}"
 
 
 @pytest.mark.parametrize("sf_dir_fixture", ["sf_dir"])
