@@ -75,7 +75,34 @@ def _stream_scratch(prefix: str) -> str:
     return d
 
 
-def _drain(out: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
+def _stream_width(in_bytes: int | None, parallelism: int) -> int:
+    """Pure width rule for _drain's state partitioning, unit-tested in
+    test_operators.py: ~1 MiB of stream input per state partition,
+    >= 4, <= defaultParallelism. Calibrated by a round-12 same-JVM A/B
+    at two scale factors (see _drain's docstring); unknown input sizes
+    fall back to the small-state floor."""
+    if not in_bytes:
+        return 4
+    return min(max(parallelism, 4), max(4, in_bytes >> 20))
+
+
+def _src_bytes(sf_dir: str, *names: str) -> int:
+    """Stream-input size for _stream_width: sum of the named source
+    files (repeat a name for a query that streams it twice)."""
+    total = 0
+    for n in names:
+        p = os.path.join(sf_dir, n)
+        if os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def _drain(
+    out: DataFrame,
+    spark: SparkSession,
+    mode: str = "complete",
+    in_bytes: int | None = None,
+) -> DataFrame:
     """Run the streaming frame to completion (availableNow) into a
     memory sink; return the sink contents as a batch DataFrame.
 
@@ -88,18 +115,26 @@ def _drain(out: DataFrame, spark: SparkSession, mode: str = "complete") -> DataF
     micro-batch (a stream-stream join provisions FOUR stores per
     shuffle partition), and AQE cannot coalesce those partitions, so
     the width is set explicitly here rather than inherited from the
-    batch-tuned session: 4 at test scale (r5 measured 8 as 2.2x faster
-    than 32 on the interval join; a round-12 interleaved same-JVM A/B
-    then measured 4 beating 8 on every stateful drain — interval join
-    2.6->2.3 s, incremental wm 3.7->3.2 s medians, flat on the
-    low-state queries — same store-provisioning argument, identical
-    results), raised via SPARK_GRAFT_STREAM_SHUFFLE for a real cluster
-    where state must spread across executors. The conf is captured
-    when the query starts and pinned into its checkpoint, so the
-    restore below cannot affect a running stream.
+    batch-tuned session. The width is SIZE-ADAPTIVE (round 12, guide
+    §2 "make partitioning scale-adaptive"): callers pass their stream
+    input bytes and _stream_width maps ~1 MiB -> 1 partition within
+    [4, defaultParallelism]. Calibrated by interleaved same-JVM A/Bs:
+    at sf0.1 (2 MB events) 4 beats 8 on every stateful drain
+    (interval join 2.6->2.3 s, incremental wm 3.7->3.2 s — per-batch
+    store provisioning dominates small state), while at sf1 (2x10 MB
+    events) the interval join NEEDS width (19.7 s at 4, 10.7 at 8,
+    7.2 at 16/32) and the small-state wm still prefers 4 (4.9 vs 6.4
+    at 32) — a fixed width is wrong in one direction or the other.
+    SPARK_GRAFT_STREAM_SHUFFLE overrides everything for cluster runs
+    where state must spread across executors regardless of input
+    size. The conf is captured when the query starts and pinned into
+    its checkpoint, so the restore below cannot affect a running
+    stream.
     """
     name = f"live_{uuid.uuid4().hex[:12]}"
-    width = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+    width = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE") or str(
+        _stream_width(in_bytes, spark.sparkContext.defaultParallelism)
+    )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", width)
     try:
@@ -152,7 +187,7 @@ def stream_live_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return _drain(out, spark)
+    return _drain(out, spark, in_bytes=_src_bytes(sf_dir, "events.parquet"))
 
 
 @register(
@@ -175,7 +210,7 @@ def stream_live_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
-    return _drain(out, spark)
+    return _drain(out, spark, in_bytes=_src_bytes(sf_dir, "events.parquet"))
 
 
 @register(
@@ -197,7 +232,7 @@ def stream_live_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique"))
     )
-    return _drain(out, spark)
+    return _drain(out, spark, in_bytes=_src_bytes(sf_dir, "events.parquet"))
 
 
 @register(
@@ -219,7 +254,7 @@ def stream_live_tws_distinct_types(spark: SparkSession, sf_dir: str) -> DataFram
     from mapreducecore_spark.streaming.tws import distinct_types_auto
 
     ev = _event_stream(spark, sf_dir)
-    drained = _drain(distinct_types_auto(ev), spark, mode="update")
+    drained = _drain(distinct_types_auto(ev), spark, mode="update", in_bytes=_src_bytes(sf_dir, "events.parquet"))
     return drained.groupBy("user_id").agg(F.max("n_types").alias("n_types"))
 
 
@@ -260,7 +295,7 @@ def stream_live_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return _drain(out, spark, mode="append")
+    return _drain(out, spark, mode="append", in_bytes=_src_bytes(sf_dir, "events.parquet"))
 
 
 @register(
@@ -307,7 +342,7 @@ def stream_live_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _drain(out, spark, mode="append")
+    return _drain(out, spark, mode="append", in_bytes=_src_bytes(sf_dir, "events.parquet"))
 
 
 @register(
@@ -389,7 +424,7 @@ def stream_live_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
-    return _drain(out, spark)
+    return _drain(out, spark, in_bytes=_src_bytes(sf_dir, "events.parquet"))
 
 
 @register(
@@ -434,7 +469,15 @@ def stream_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_type",
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
     )
-    return _drain(out, spark, mode="append")
+    # Both halves stream the full events file: the join-state width must
+    # scale with BOTH sides' input (the sf1 A/B in _drain's docstring is
+    # this query), so the file is counted twice.
+    return _drain(
+        out,
+        spark,
+        mode="append",
+        in_bytes=_src_bytes(sf_dir, "events.parquet", "events.parquet"),
+    )
 
 
 @register(
@@ -473,7 +516,7 @@ def stream_live_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_unique"))
     )
-    return _drain(out, spark)
+    return _drain(out, spark, in_bytes=_src_bytes(sf_dir, "documents.parquet"))
 
 
 @register(
@@ -501,7 +544,7 @@ def stream_live_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique"))
     )
-    return _drain(out, spark)
+    return _drain(out, spark, in_bytes=_src_bytes(sf_dir, "events.parquet"))
 
 
 @register(
@@ -630,7 +673,7 @@ def stream_live_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
         )
     )
-    return _drain(out, spark)
+    return _drain(out, spark, in_bytes=_src_bytes(sf_dir, "documents.parquet"))
 
 
 def _incr_bands_duck(prefix: str, where: str) -> str:
@@ -757,7 +800,7 @@ def stream_live_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("new_id", "match_id")
         .dropDuplicates(["new_id", "match_id"])
     )
-    return _drain(out, spark, mode="append")
+    return _drain(out, spark, mode="append", in_bytes=_src_bytes(sf_dir, "documents.parquet"))
 
 
 def _incremental_dedup_stream(
@@ -924,4 +967,12 @@ def stream_live_incremental_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFr
     unbounded form cannot offer."""
     tmp = _stream_scratch("mrc_incr_wm_")
     out = _incremental_dedup_stream(spark, sf_dir, f"{tmp}/in")
-    return _drain(out, spark, mode="append")
+    # The stream side is the re-laid 10%-of-docs backlog written just
+    # above (not the full documents file), so size the state width from
+    # what was actually laid out.
+    relaid = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(f"{tmp}/in")
+        for f in fs
+    )
+    return _drain(out, spark, mode="append", in_bytes=relaid)

@@ -415,3 +415,22 @@ def test_table_cache_does_not_pin_dropped_sessions(spark, sf_dir):
     assert ref() is None, (
         "dropped session still reachable — the table cache is pinning it"
     )
+
+
+def test_stream_width_size_adaptive():
+    """Round 12 (guide §2, scale-adaptive partitioning): _drain's state
+    width maps ~1 MiB of stream input per partition within
+    [4, defaultParallelism]. Calibrated by same-JVM A/Bs: sf0.1 events
+    (2 MB) -> 4 (per-batch store provisioning dominates small state);
+    sf1 interval join (2x10 MB) -> needs >= 16 (19.7 s at 4 vs 7.2 at
+    16/32). Unknown sizes fall back to the floor."""
+    from mapreducecore_spark.queries.streaming_live import _stream_width
+
+    mb = 1 << 20
+    assert _stream_width(None, 32) == 4          # unknown -> floor
+    assert _stream_width(0, 32) == 4
+    assert _stream_width(2 * mb, 32) == 4        # sf0.1 events
+    assert _stream_width(20 * mb, 32) == 20      # sf1 interval join (2 sides)
+    assert _stream_width(1 << 30, 32) == 32      # capped at parallelism
+    assert _stream_width(20 * mb, 8) == 8        # low-core driver run
+    assert _stream_width(20 * mb, 0) == 4        # degenerate parallelism
