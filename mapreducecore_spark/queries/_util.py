@@ -292,9 +292,39 @@ _RECLAIM_MIN_BYTES = int(
 )
 
 
-def _scratch_bytes(spool: str) -> int:
+def _own_blockmgr_dirs(spark) -> list[str] | None:
+    """Block-manager scratch dirs owned by THIS session's JVM (local
+    mode: the driver's DiskBlockManager — the only block manager).
+
+    The settle poll can only ever observe deletions issued by THIS
+    session's ContextCleaner, so only this session's dirs belong in
+    the reclaimable estimate: a stale blockmgr-* leaked by a dead JVM
+    never shrinks (observed round 12: a killed 3000x run left 20 GB
+    under /tmp, which kept EVERY later session's poll permanently
+    active — four ~1.3 s stalls per candidate_recall run, the exact
+    r10 signature the skip was built to remove), and a live sibling's
+    scratch answers the sibling's cleaner, not ours. Returns None when
+    the (private[spark], stable since 1.x) accessor is unavailable —
+    the caller then falls back to counting every blockmgr-* under the
+    spool, which errs toward polling."""
+    try:
+        dbm = (
+            spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
+            .blockManager()
+            .diskBlockManager()
+        )
+        return [str(d) for d in dbm.localDirsString()]
+    except Exception:
+        return None
+
+
+def _scratch_bytes(spool: str, own_dirs: list[str] | None = None) -> int:
     """Bytes of RECLAIMABLE block-manager scratch under the shuffle
     spool — an upper bound on what a settle wait could possibly free.
+
+    Scoped to `own_dirs` (this session's block-manager dirs, see
+    _own_blockmgr_dirs) when known; falls back to every blockmgr-*
+    under the spool otherwise (errs toward polling).
 
     `rdd_*` block files are EXCLUDED (round 12, VERDICT r11 #3): those
     are resident localCheckpoint partitions, pinned by live DataFrames
@@ -310,8 +340,13 @@ def _scratch_bytes(spool: str) -> int:
     ENOSPC race the guard exists for (pending dead-shuffle deletes)."""
     import glob
 
+    dirs = (
+        own_dirs
+        if own_dirs is not None
+        else glob.glob(os.path.join(spool, "blockmgr-*"))
+    )
     total = 0
-    for d in glob.glob(os.path.join(spool, "blockmgr-*")):
+    for d in dirs:
         for root, _dirs, files in os.walk(d):
             for f in files:
                 if f.startswith("rdd_"):
@@ -383,7 +418,7 @@ def reclaim(spark, settle_secs: float = 20.0) -> None:
     spool = (
         spark.sparkContext.getConf().get("spark.local.dir", tempfile.gettempdir())
     ).split(",")[0]
-    if _scratch_bytes(spool) < _RECLAIM_MIN_BYTES:
+    if _scratch_bytes(spool, _own_blockmgr_dirs(spark)) < _RECLAIM_MIN_BYTES:
         return
     try:
         free = shutil.disk_usage(spool).free

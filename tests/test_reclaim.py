@@ -89,3 +89,27 @@ def test_reclaim_min_bytes_default():
         assert _util._RECLAIM_MIN_BYTES == 1 << 30
     else:
         assert _util._RECLAIM_MIN_BYTES == int(env)
+
+
+def test_scratch_bytes_scoped_to_own_dirs(tmp_path):
+    # Round 12: a stale blockmgr-* leaked by a dead JVM (observed: 20 GB
+    # from a killed 3000x run) must not re-activate the poll — when the
+    # session's own dirs are known, only they are counted.
+    stale = tmp_path / "blockmgr-dead-jvm"
+    stale.mkdir()
+    (stale / "shuffle_9_0_0.data").write_bytes(b"x" * 50_000)
+    own = tmp_path / "blockmgr-this-session"
+    own.mkdir()
+    (own / "shuffle_0_0_0.data").write_bytes(b"x" * 77)
+    assert _util._scratch_bytes(str(tmp_path), [str(own)]) == 77
+    # Unknown ownership falls back to everything (errs toward polling).
+    assert _util._scratch_bytes(str(tmp_path), None) == 50_077
+
+
+def test_own_blockmgr_dirs_resolves_live_dir(spark):
+    dirs = _util._own_blockmgr_dirs(spark)
+    assert dirs, "accessor returned nothing on a live local session"
+    assert all("blockmgr-" in d for d in dirs)
+    import os
+
+    assert all(os.path.isdir(d) for d in dirs)
