@@ -318,7 +318,11 @@ def _own_blockmgr_dirs(spark) -> list[str] | None:
         return None
 
 
-def _scratch_bytes(spool: str, own_dirs: list[str] | None = None) -> int:
+def _scratch_bytes(
+    spool: str,
+    own_dirs: list[str] | None = None,
+    include_rdd: bool = False,
+) -> int:
     """Bytes of RECLAIMABLE block-manager scratch under the shuffle
     spool — an upper bound on what a settle wait could possibly free.
 
@@ -326,18 +330,26 @@ def _scratch_bytes(spool: str, own_dirs: list[str] | None = None) -> int:
     _own_blockmgr_dirs) when known; falls back to every blockmgr-*
     under the spool otherwise (errs toward polling).
 
-    `rdd_*` block files are EXCLUDED (round 12, VERDICT r11 #3): those
-    are resident localCheckpoint partitions, pinned by live DataFrames
-    until the caller drops them — a settle poll can never reclaim
-    them, but counting them meant a long sweep session accumulated
-    enough DISK_ONLY checkpoint residue (>1 GiB after hundreds of
-    materialize() calls) to silently re-activate the poll on queries
-    whose actual pending-delete volume was a few MB (in-sweep
-    candidate_recall ~4.7 s vs 4.2 s warm-standalone). Everything else
-    under blockmgr-* (shuffle_*.data/.index, temp_*, broadcast_*) is
-    either deletable by the ContextCleaner drain the poll watches or
-    transient, so the estimate still errs toward polling for the
-    ENOSPC race the guard exists for (pending dead-shuffle deletes)."""
+    `rdd_*` block files are EXCLUDED by default (round 12, VERDICT r11
+    #3): those are resident localCheckpoint partitions, pinned by live
+    DataFrames until the caller drops them — a settle poll can never
+    reclaim them, but counting them meant a long sweep session
+    accumulated enough DISK_ONLY checkpoint residue (>1 GiB after
+    hundreds of materialize() calls) to silently re-activate the poll
+    on queries whose actual pending-delete volume was a few MB
+    (in-sweep candidate_recall ~4.7 s vs 4.2 s warm-standalone).
+    Everything else under blockmgr-* (shuffle_*.data/.index, temp_*,
+    broadcast_*) is either deletable by the ContextCleaner drain the
+    poll watches or transient, so the estimate still errs toward
+    polling for the ENOSPC race the guard exists for (pending
+    dead-shuffle deletes).
+
+    include_rdd=True counts everything — the estimate reclaim() uses
+    to decide whether the System.gc() ENQUEUE is worth a full GC:
+    dead checkpoint blocks are indistinguishable from live ones on
+    disk, so the gc must fire once TOTAL residue (any block type)
+    crosses the threshold or dropped checkpoints would leak for the
+    session's lifetime."""
     import glob
 
     dirs = (
@@ -349,7 +361,7 @@ def _scratch_bytes(spool: str, own_dirs: list[str] | None = None) -> int:
     for d in dirs:
         for root, _dirs, files in os.walk(d):
             for f in files:
-                if f.startswith("rdd_"):
+                if not include_rdd and f.startswith("rdd_"):
                     continue
                 try:
                     total += os.path.getsize(os.path.join(root, f))
@@ -394,13 +406,29 @@ def reclaim(spark, settle_secs: float = 20.0) -> None:
     few MB and the fixed two-sample floor (~1 s per staging point) was
     the single largest per-query cost of the staged queries at sf0.1
     (2.6x on candidate_recall). When everything the spool COULD
-    reclaim — all bytes under its blockmgr dirs, live blocks included,
-    so the estimate only errs toward polling — is under
+    reclaim — this session's scratch, see _scratch_bytes — is under
     SPARK_GRAFT_RECLAIM_MIN_BYTES (default 1 GiB), skipping the wait
     risks at most that much transient over-occupancy, three orders of
-    magnitude below the headroom the guard protects. This is an
-    I/O-side condition only: the gc/System.gc enqueue stays
-    unconditional and no query PLAN forks on it.
+    magnitude below the headroom the guard protects. No query PLAN
+    forks on any of this.
+
+    THE System.gc() IS ALSO HEADROOM-CONDITIONAL (round 12): a driver
+    full GC costs 150–300 ms, and with 2–4 staging points per staged
+    query it was the family's largest remaining fixed cost once the
+    poll was skipped (~3 s of the full-GC budget of an entire sf0.1
+    sweep was reclaim's own calls). It now fires only when TOTAL own
+    scratch — including rdd_* blocks, because dead dropped-checkpoint
+    blocks are indistinguishable from live ones on disk and must
+    still get their deletes enqueued eventually — crosses the same
+    threshold. Accumulation is therefore bounded at the threshold: a
+    sweep grows residue to ~1 GiB, one reclaim() then runs the full
+    GC (and, if the non-rdd share is big, the poll), and the cycle
+    resets. The Python-side gc.collect() stays unconditional — it is
+    ~10 ms and releases the Py4J proxies pinning dropped plans, so
+    both our conditional full GC and any natural JVM GC can actually
+    collect them. At scale (3000x+: tens of GB of shuffle scratch)
+    every estimate is far above threshold and the behavior is
+    byte-identical to r11's unconditional form.
 
     CLUSTER NOTE (ADVICE r11): the estimate reads only the DRIVER-local
     spool; with remote executors the pending shuffle deletes live on
@@ -414,11 +442,14 @@ def reclaim(spark, settle_secs: float = 20.0) -> None:
     import time
 
     gc.collect()
-    spark.sparkContext._jvm.System.gc()
     spool = (
         spark.sparkContext.getConf().get("spark.local.dir", tempfile.gettempdir())
     ).split(",")[0]
-    if _scratch_bytes(spool, _own_blockmgr_dirs(spark)) < _RECLAIM_MIN_BYTES:
+    own = _own_blockmgr_dirs(spark)
+    if _scratch_bytes(spool, own, include_rdd=True) < _RECLAIM_MIN_BYTES:
+        return
+    spark.sparkContext._jvm.System.gc()
+    if _scratch_bytes(spool, own) < _RECLAIM_MIN_BYTES:
         return
     try:
         free = shutil.disk_usage(spool).free

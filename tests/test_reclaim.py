@@ -113,3 +113,47 @@ def test_own_blockmgr_dirs_resolves_live_dir(spark):
     import os
 
     assert all(os.path.isdir(d) for d in dirs)
+
+
+def test_reclaim_full_gc_is_headroom_conditional(spark, monkeypatch):
+    """Round 12: the driver System.gc() (150-300 ms each, 2-4 per staged
+    query) fires only when TOTAL own scratch (rdd_* included, so dead
+    dropped-checkpoint blocks still get their deletes enqueued once
+    they accumulate) crosses the threshold; the poll additionally needs
+    the non-rdd share over it."""
+
+    class _FakeSystem:
+        calls = 0
+
+        def gc(self):
+            _FakeSystem.calls += 1
+
+    class _FakeJvm:
+        System = _FakeSystem()
+
+    monkeypatch.setattr(spark.sparkContext, "_jvm", _FakeJvm())
+    monkeypatch.setattr(_util, "_RECLAIM_MIN_BYTES", 1000)
+    slept = _spy_sleep(monkeypatch)
+
+    # 1) everything small -> no full GC, no poll
+    monkeypatch.setattr(
+        _util, "_scratch_bytes", lambda spool, own=None, include_rdd=False: 10
+    )
+    _util.reclaim(spark)
+    assert _FakeSystem.calls == 0 and slept == []
+
+    # 2) big but rdd-dominated -> full GC fires, poll still skipped
+    monkeypatch.setattr(
+        _util,
+        "_scratch_bytes",
+        lambda spool, own=None, include_rdd=False: 5000 if include_rdd else 10,
+    )
+    _util.reclaim(spark)
+    assert _FakeSystem.calls == 1 and slept == []
+
+    # 3) big non-rdd scratch -> full GC and poll both fire
+    monkeypatch.setattr(
+        _util, "_scratch_bytes", lambda spool, own=None, include_rdd=False: 5000
+    )
+    _util.reclaim(spark, settle_secs=1.0)
+    assert _FakeSystem.calls == 2 and slept
