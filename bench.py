@@ -279,6 +279,12 @@ def main() -> None:
     full["solo_run"] = (
         full["concurrent_jvms_at_start"] == 0 and full["concurrent_jvms_at_end"] == 0
     )
+    # Stamp the core count (VERDICT r11 cosmetic note): BENCH_FULL.json
+    # holds whichever sweep ran last, and without the cpus a committed
+    # 8-core artifact diffs against a 32-core one as a phantom 2-4x
+    # regression. Additive field; the compact line and all existing
+    # entries are unchanged.
+    full["cpus"] = int(CPUS)
     # Full per-query map goes to a file; stdout gets a COMPACT line only
     # (headline breakdown, ~0.5 KB) so the driver's bounded tail capture
     # always parses it (round-1 record was lost to a 6 KB line).
