@@ -464,10 +464,29 @@ def reclaim(spark, settle_secs: float = 20.0) -> None:
         free = max(free, now_free)
 
 
-def materialize(df, big: bool = False, eager: bool = False):
+def materialize(df, big: bool = False, eager: bool = True):
     """Compute once, reuse across self-join branches.
 
-    eager=True additionally forces the computation NOW as its own job
+    EAGER BY DEFAULT (round 12): a LAZY localCheckpoint materializes at
+    the end of whichever job first consumes it — and under AQE that job
+    can finish on a broadcast-exchange thread while the DAG scheduler
+    is concurrently submitting another stage over the same RDD. Those
+    two paths take Spark's RDD state lock and the RDDCheckpointData
+    companion lock in OPPOSITE orders, and round 12 caught the
+    resulting JVM deadlock live in the test suite (jstack:
+    dag-scheduler-event-loop in getCacheLocs holding the RDD lock,
+    wanting RDDCheckpointData$; broadcast-exchange-113 in
+    RDDCheckpointData.checkpoint holding RDDCheckpointData$, wanting
+    markCheckpointed's RDD lock — both parked forever, query hung).
+    Eager materialization runs the checkpoint's job on the CALLING
+    thread at build time, before the query has any concurrent stage
+    submission to race, closing the window for that frame. With
+    localCheckpoint the computed work and block writes are identical
+    either way — lazy only saved one job's scheduling overhead
+    (~50 ms at toy scale, noise at the attested decades), which is not
+    worth a process-wide hang class.
+
+    eager=True forces the computation NOW as its own job
     — a JOB BARRIER. Lazy checkpoints materialize inside the first
     consuming job, so two INDEPENDENT consumer stages in that job can
     both compute the parent concurrently (the cache race): for a frame

@@ -74,7 +74,11 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("size(toks) >= 5")
         .selectExpr("doc_id", f"explode({_shingles_expr(5)}) AS shingle")
     )
-    sh = sh.localCheckpoint(eager=False)  # shingle once, read twice
+    # Shingle once, read twice. Eager (round 12): this frame feeds a
+    # broadcast side AND the big side of the same query — exactly the
+    # lazy-checkpoint/AQE lock-order deadlock shape _util.materialize's
+    # docstring documents; materializing on the calling thread closes it.
+    sh = sh.localCheckpoint(eager=True)
     bench = sh.filter(_BENCH_PRED).select("shingle").distinct()
     corpus = sh.filter(f"NOT ({_BENCH_PRED})")
     n_sh = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
